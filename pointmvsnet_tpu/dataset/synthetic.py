@@ -1,0 +1,113 @@
+"""Synthetic DTU-format scene generator.
+
+No counterpart in the reference (which assumes the real DTU download); this
+exists because the rebuild's test suite (SURVEY.md §4) needs geometrically
+consistent multi-view data without the 100 GB dataset. Scenes are textured
+fronto-parallel planes: source views are exact homography warps of the
+reference texture, so the true depth is recoverable by plane-sweep stereo
+and end-to-end tests can assert convergence toward known GT.
+
+Writes the exact on-disk layout `pointmvsnet_tpu.dataset.dtu` consumes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+from pointmvsnet_tpu.dataset.io import write_cam, write_pfm
+
+
+def _texture(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
+    """Smooth random RGB texture with enough gradient for photometric cost."""
+    small = rng.rand(h // 8 + 2, w // 8 + 2, 3).astype(np.float32)
+    import cv2
+    tex = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+    tex += 0.25 * rng.rand(h, w, 3).astype(np.float32)
+    tex -= tex.min()
+    tex /= max(tex.max(), 1e-6)
+    return (tex * 255).astype(np.uint8)
+
+
+def make_synthetic_dtu(root: str, scans: Sequence[int] = (1,), num_views: int = 5,
+                       height: int = 128, width: int = 160, depth_min: float = 425.0,
+                       depth_interval: float = 2.5, num_depth: int = 48,
+                       num_lights: int = 7, seed: int = 0) -> None:
+    """Create a DTU-layout tree under ``root``.
+
+    Geometry: reference camera 0 at world origin looking +z; view ``v`` is
+    translated by a small baseline along x. The scene is two fronto-parallel
+    textured half-planes (left/right) at different depths within the
+    hypothesis range, so GT depth is piecewise constant and recoverable.
+    """
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "Cameras"), exist_ok=True)
+
+    f = 1.2 * max(height, width)
+    K = np.array([[f, 0, width / 2.0], [0, f, height / 2.0], [0, 0, 1]], np.float64)
+    baseline = depth_min * 0.012
+
+    # cameras + pair.txt (shared across scans, like DTU's Cameras/ dir)
+    extrinsics = []
+    for v in range(num_views):
+        E = np.eye(4)
+        E[0, 3] = -v * baseline  # world→cam: camera at x = +v·b
+        extrinsics.append(E)
+        cam = np.zeros((2, 4, 4), np.float32)
+        cam[0] = E
+        cam[1, :3, :3] = K
+        cam[1, 3] = [depth_min, depth_interval, num_depth,
+                     depth_min + (num_depth - 1) * depth_interval]
+        write_cam(os.path.join(root, "Cameras", f"{v:08d}_cam.txt"), cam)
+
+    with open(os.path.join(root, "Cameras", "pair.txt"), "w") as fp:
+        fp.write(f"{num_views}\n")
+        for v in range(num_views):
+            others = sorted(range(num_views), key=lambda u: (abs(u - v), u))
+            others = [u for u in others if u != v]
+            fp.write(f"{v}\n{len(others)} " +
+                     " ".join(f"{u} {100.0 - 10 * i}" for i, u in enumerate(others)) + "\n")
+
+    d_lo = depth_min + 0.25 * (num_depth - 1) * depth_interval
+    d_hi = depth_min + 0.70 * (num_depth - 1) * depth_interval
+
+    for scan in scans:
+        img_dir = os.path.join(root, "Rectified", f"scan{scan}_train")
+        dep_dir = os.path.join(root, "Depths", f"scan{scan}_train")
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(dep_dir, exist_ok=True)
+
+        tex_l = _texture(rng, height, width)
+        tex_r = _texture(rng, height, width)
+        split = width // 2
+
+        # Per-view render: each half-plane at depth d maps ref pixel (x,y) to
+        # view-v pixel (x - f·(v·b)/d, y)  (pure horizontal disparity).
+        for v in range(num_views):
+            img = np.zeros((height, width, 3), np.uint8)
+            for (tex, d, x0, x1) in [(tex_l, d_lo, 0, split), (tex_r, d_hi, split, width)]:
+                disp = f * (v * baseline) / d
+                M = np.float32([[1, 0, -disp], [0, 1, 0]])
+                warped = cv2.warpAffine(tex, M, (width, height))
+                mask = np.zeros((height, width), np.uint8)
+                mask[:, x0:x1] = 1
+                wm = cv2.warpAffine(mask, M, (width, height))
+                img[wm > 0] = warped[wm > 0]
+            for light in range(num_lights):
+                gain = 0.75 + 0.08 * light
+                out = np.clip(img.astype(np.float32) * gain, 0, 255).astype(np.uint8)
+                cv2.imwrite(os.path.join(img_dir, f"rect_{v + 1:03d}_{light}_r5000.png"),
+                            cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+
+        for v in range(num_views):
+            depth = np.full((height, width), d_lo, np.float32)
+            depth[:, split:] = d_hi
+            # each view sees the planes shifted by its disparity
+            for (d, x0, x1) in [(d_lo, 0, split), (d_hi, split, width)]:
+                disp = int(round(f * (v * baseline) / d))
+                depth[:, max(0, x0 - disp):max(0, x1 - disp)] = d
+            write_pfm(os.path.join(dep_dir, f"depth_map_{v:04d}.pfm"), depth)
