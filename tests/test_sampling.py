@@ -1,0 +1,84 @@
+"""Bilinear sampling parity vs torch ``grid_sample`` (SURVEY.md §7 "hard
+parts": sampling semantics must match or depth parity fails silently)."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from pointmvsnet_tpu.ops.sampling import bilinear_sample, fetch_features
+
+
+def torch_grid_sample(feat_nhwc: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """torch reference: align_corners=True, zeros padding (the reference
+    FeatureFetcher's effective semantics — SURVEY.md §2.6)."""
+    n, h, w, c = feat_nhwc.shape
+    t = torch.from_numpy(feat_nhwc).permute(0, 3, 1, 2)  # NCHW
+    g = torch.from_numpy(uv).clone()
+    g[..., 0] = g[..., 0] / (w - 1) * 2 - 1
+    g[..., 1] = g[..., 1] / (h - 1) * 2 - 1
+    g = g[:, None]  # (N, 1, P, 2)
+    out = F.grid_sample(t, g, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)
+    return out[:, :, 0].permute(0, 2, 1).numpy()  # (N, P, C)
+
+
+def test_matches_torch_interior(rng):
+    feat = rng.rand(2, 9, 13, 4).astype(np.float32)
+    uv = np.stack([rng.uniform(0, 12, size=(2, 50)),
+                   rng.uniform(0, 8, size=(2, 50))], axis=-1).astype(np.float32)
+    ours = np.asarray(bilinear_sample(jnp.asarray(feat), jnp.asarray(uv)))
+    ref = torch_grid_sample(feat, uv)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_matches_torch_out_of_bounds(rng):
+    feat = rng.rand(1, 7, 8, 3).astype(np.float32)
+    uv = np.stack([rng.uniform(-4, 12, size=(1, 200)),
+                   rng.uniform(-4, 11, size=(1, 200))], axis=-1).astype(np.float32)
+    ours = np.asarray(bilinear_sample(jnp.asarray(feat), jnp.asarray(uv)))
+    ref = torch_grid_sample(feat, uv)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_exact_at_integer_pixels(rng):
+    feat = rng.rand(1, 5, 6, 2).astype(np.float32)
+    uv = np.array([[[2.0, 3.0], [0.0, 0.0], [5.0, 4.0]]], np.float32)
+    out = np.asarray(bilinear_sample(jnp.asarray(feat), jnp.asarray(uv)))
+    np.testing.assert_allclose(out[0, 0], feat[0, 3, 2], atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], feat[0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[0, 2], feat[0, 4, 5], atol=1e-6)
+
+
+def test_gradient_flows(rng):
+    import jax
+    feat = jnp.asarray(rng.rand(1, 5, 6, 2).astype(np.float32))
+    uv0 = jnp.asarray([[[2.3, 1.7]]])
+
+    g = jax.grad(lambda uv: bilinear_sample(feat, uv).sum())(uv0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.any(np.asarray(g) != 0)
+
+
+def test_fetch_features_ref_view_identity(rng):
+    """Fetching at points unprojected from the ref grid must return the ref
+    feature map itself (warp identity — validates the full project→sample
+    chain used by the cost volume)."""
+    from pointmvsnet_tpu.ops.geometry import pixel_grid, unproject_pixels
+
+    h, w, c = 6, 8, 3
+    feat = rng.rand(1, 2, h, w, c).astype(np.float32)
+    cams = np.zeros((1, 2, 2, 4, 4), np.float32)
+    for v in range(2):
+        cams[0, v, 0] = np.eye(4)
+        cams[0, v, 0, 0, 3] = -0.3 * v
+        cams[0, v, 1, :3, :3] = [[20, 0, w / 2], [0, 20, h / 2], [0, 0, 1]]
+    pix = pixel_grid(h, w)[None]
+    depth = jnp.full((1, h * w), 5.0)
+    pts = unproject_pixels(pix, depth, jnp.asarray(cams[:, 0, 0]),
+                           jnp.asarray(cams[:, 0, 1, :3, :3]))
+    out = np.asarray(fetch_features(jnp.asarray(feat), pts, jnp.asarray(cams)))
+    np.testing.assert_allclose(out[0, 0].reshape(h, w, c), feat[0, 0], atol=1e-4)
+    # source view samples are shifted versions — finite and mostly nonzero
+    assert np.isfinite(out).all()
+    assert (np.abs(out[0, 1]) > 0).mean() > 0.5
