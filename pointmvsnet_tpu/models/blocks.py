@@ -23,11 +23,15 @@ import jax.numpy as jnp
 Dtype = Any
 
 
-def _norm_layer(norm: str, dtype, train: bool, num_groups: int = 8):
+def _norm_layer(norm: str, dtype, train: bool, num_groups: int = 8,
+                channels: int | None = None):
     if norm == "bn":
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=dtype)
     if norm == "gn":
+        if channels is not None:
+            import math
+            num_groups = math.gcd(num_groups, channels)
         return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=dtype)
     if norm == "none":
         return None
@@ -60,7 +64,7 @@ class ConvBlock(nn.Module):
         x = nn.Conv(self.features, ks, st, padding="SAME",
                     use_bias=not use_norm, dtype=self.dtype,
                     kernel_init=conv_kernel_init)(x)
-        layer = _norm_layer(self.norm, self.dtype, train, self.gn_groups)
+        layer = _norm_layer(self.norm, self.dtype, train, self.gn_groups, self.features)
         if layer is not None:
             x = layer(x)
         if self.relu:
@@ -89,7 +93,7 @@ class DeconvBlock(nn.Module):
         x = nn.ConvTranspose(self.features, ks, st, padding="SAME",
                              use_bias=not use_norm, dtype=self.dtype,
                              kernel_init=conv_kernel_init)(x)
-        layer = _norm_layer(self.norm, self.dtype, train, self.gn_groups)
+        layer = _norm_layer(self.norm, self.dtype, train, self.gn_groups, self.features)
         if layer is not None:
             x = layer(x)
         if self.relu:
@@ -117,7 +121,7 @@ class SharedMLP(nn.Module):
             use_norm = self.norm if (self.last_norm or not last) else "none"
             x = nn.Dense(f, use_bias=use_norm == "none", dtype=self.dtype,
                          kernel_init=conv_kernel_init)(x)
-            layer = _norm_layer(use_norm, self.dtype, train, self.gn_groups)
+            layer = _norm_layer(use_norm, self.dtype, train, self.gn_groups, f)
             if layer is not None:
                 x = layer(x)
             if self.last_relu or not last:

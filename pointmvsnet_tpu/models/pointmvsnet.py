@@ -72,18 +72,19 @@ class PointFlow(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, levels: List[jnp.ndarray], cams: jnp.ndarray,
-                 cur_depth: jnp.ndarray, step: jnp.ndarray,
+    def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
+                 ref_cam: jnp.ndarray, cur_depth: jnp.ndarray, step: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
         """
-        levels: feature pyramid, each (B, V, h_l, w_l, C_l); levels[0] is at
-                the flow resolution (h, w), level l at (h/2ˡ, w/2ˡ)
-        cams:   (B, V, 2, 4, 4) at the ORIGINAL image resolution
-        cur_depth: (B, h, w) depth to refine (at flow resolution)
-        step:   (B,) hypothesis spacing = inter_scale · depth_interval
+        levels:      feature pyramid, each (B, V, h_l, w_l, C_l)
+        cams_levels: cameras scaled to each level's resolution, (B, V, 2, 4, 4)
+        ref_cam:     (B, 2, 4, 4) reference camera at the FLOW resolution
+                     (that of ``cur_depth``) — used to unproject hypotheses
+        cur_depth:   (B, h, w) depth to refine
+        step:        (B,) hypothesis spacing = inter_scale · depth_interval
         → refined depth (B, h, w)
         """
-        b, _, h, w, _ = levels[0].shape
+        b, h, w = cur_depth.shape
         g = 2 * self.m + 1
         n = h * w
 
@@ -92,9 +93,6 @@ class PointFlow(nn.Module):
         hyp_depth = (cur_depth.reshape(b, 1, n)
                      + offsets[None, :, None] * step[:, None, None])  # (B, G, N)
         pix = pixel_grid(h, w, dtype=cur_depth.dtype)                 # (N, 3)
-        full_w = 2 * cams.shape[-1]  # unused; cams carry their own scale
-        ref_cam = scale_cams(cams[:, 0], _ratio(w, cams, axis=0),
-                             _ratio(h, cams, axis=1))
         pts = unproject_pixels(pix[None, None], hyp_depth,
                                cam_extrinsics(ref_cam)[:, None],
                                cam_intrinsics(ref_cam)[:, None])      # (B, G, N, 3)
@@ -102,10 +100,7 @@ class PointFlow(nn.Module):
 
         # --- multi-scale multi-view point features (variance over views) --
         feats = []
-        for lvl, fmap in enumerate(levels):
-            lh, lw = fmap.shape[2], fmap.shape[3]
-            cams_l = scale_cams(cams, _ratio(lw, cams, axis=0),
-                                _ratio(lh, cams, axis=1))
+        for fmap, cams_l in zip(levels, cams_levels):
             sampled = fetch_features(fmap, x, cams_l)                 # (B, V, G·N, C)
             mean = jnp.mean(sampled, axis=1)
             var = jnp.mean(jnp.square(sampled), axis=1) - jnp.square(mean)
@@ -129,11 +124,6 @@ class PointFlow(nn.Module):
         prob = jax.nn.softmax(logits.reshape(b, g, n), axis=1)
         residual = jnp.einsum("bgn,g->bn", prob, offsets) * step[:, None]
         return cur_depth + residual.reshape(b, h, w)
-
-
-def _ratio(target: int, cams: jnp.ndarray, axis: int) -> float:
-    """Placeholder resolved by PointMVSNet — overwritten below."""
-    raise NotImplementedError
 
 
 class PointMVSNet(nn.Module):
@@ -206,8 +196,13 @@ class PointMVSNet(nn.Module):
             imgs_s = _resize_views(images, th, tw)
             pyr = self._pyramid(imgs_s, train)
             levels = [pyr["conv0"], pyr["conv1"], pyr["conv2"]]
+            cams_levels = [
+                scale_cams(cams, lvl.shape[3] / width, lvl.shape[2] / height).astype(dtype)
+                for lvl in levels
+            ]
+            ref_cam = scale_cams(cams[:, 0], tw / width, th / height).astype(jnp.float32)
             cur = jax.image.resize(cur, (b, th, tw), method="bilinear")
             step = (d_int * inter_s).astype(jnp.float32)
-            cur = self.point_flow(levels, cams.astype(dtype), cur, step, train)
+            cur = self.point_flow(levels, cams_levels, ref_cam, cur, step, train)
             preds[f"flow{it + 1}"] = cur
         return preds

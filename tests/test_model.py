@@ -1,0 +1,166 @@
+"""Model forward/backward tests: module shapes, full PointMVSNet coarse +
+flow forward, loss/metric plumbing, gradient flow (SURVEY.md §7 step 4/6).
+
+Volume U-Net constraint: D and the cost-volume h, w must be divisible by 8
+(3 stride-2 stages) — input H, W divisible by 64 guarantees it, matching
+the data plane's crop base.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointmvsnet_tpu.models import build_model
+from pointmvsnet_tpu.models.image_conv import ImageConv
+from pointmvsnet_tpu.models.loss import pointmvsnet_loss, pointmvsnet_metrics
+from pointmvsnet_tpu.models.volume_conv import VolumeConv
+from pointmvsnet_tpu.config import get_default_cfg
+
+B, V, H, W, D = 1, 2, 64, 64, 16
+
+
+def tiny_cfg():
+    cfg = get_default_cfg()
+    cfg.MODEL.NUM_VIRTUAL_PLANE = D
+    cfg.MODEL.EDGE_CHANNELS = (8, 8)
+    cfg.MODEL.FLOW_CHANNELS = (16, 8, 1)
+    cfg.MODEL.IMG_BASE_CHANNELS = 4
+    cfg.MODEL.VOL_BASE_CHANNELS = 4
+    cfg.MODEL.KNN = 8
+    return cfg
+
+
+def make_batch(rng):
+    images = rng.rand(B, V, H, W, 3).astype(np.float32)
+    cams = np.zeros((B, V, 2, 4, 4), np.float32)
+    for v in range(V):
+        cams[:, v, 0] = np.eye(4)
+        cams[:, v, 0, 0, 3] = -0.5 * v
+        cams[:, v, 1, :3, :3] = [[80, 0, W / 2], [0, 80, H / 2], [0, 0, 1]]
+        cams[:, v, 1, 3] = [8.0, 0.5, D, 8.0 + (D - 1) * 0.5]
+    gt = rng.uniform(8.5, 14.0, size=(B, H, W, 1)).astype(np.float32)
+    gt[:, :4] = 0.0  # some invalid pixels
+    return jnp.asarray(images), jnp.asarray(cams), jnp.asarray(gt)
+
+
+@pytest.fixture(scope="module")
+def fwd(rng=np.random.RandomState(0)):
+    """Init + one full forward (coarse + 2 flow iters), cached per module."""
+    cfg = tiny_cfg()
+    model, loss_fn, metric_fn = build_model(cfg)
+    images, cams, gt = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), images, cams,
+                           is_flow=True, img_scales=(0.25, 0.5),
+                           inter_scales=(0.75, 0.375),
+                           num_virtual_plane=D, train=False)
+    preds = model.apply(variables, images, cams, is_flow=True,
+                        img_scales=(0.25, 0.5), inter_scales=(0.75, 0.375),
+                        num_virtual_plane=D, train=False)
+    return cfg, model, variables, images, cams, gt, preds
+
+
+def test_image_conv_pyramid(rng):
+    m = ImageConv(base_channels=4, norm="gn")
+    x = jnp.asarray(rng.rand(2, 32, 48, 3).astype(np.float32))
+    var = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(var, x)
+    assert out["conv0"].shape == (2, 32, 48, 4)
+    assert out["conv1"].shape == (2, 16, 24, 8)
+    assert out["conv2"].shape == (2, 8, 12, 16)
+    assert out["conv3"].shape == (2, 4, 6, 32)
+
+
+def test_volume_conv_shape(rng):
+    m = VolumeConv(base_channels=4, norm="gn")
+    x = jnp.asarray(rng.rand(1, 8, 16, 16, 6).astype(np.float32))
+    var = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(var, x)
+    assert out.shape == (1, 8, 16, 16, 1)
+
+
+def test_forward_output_shapes(fwd):
+    _, _, _, _, _, _, preds = fwd
+    # coarse at input·0.5 (coarse stage) / 4 (feature stride) = 1/8
+    assert preds["coarse_depth_map"].shape == (B, H // 8, W // 8)
+    assert preds["coarse_prob_map"].shape == (B, H // 8, W // 8)
+    assert preds["flow1"].shape == (B, H // 4, W // 4)
+    assert preds["flow2"].shape == (B, H // 2, W // 2)
+
+
+def test_forward_depth_in_range(fwd):
+    _, _, _, _, cams, _, preds = fwd
+    d_min, d_int = float(cams[0, 0, 1, 3, 0]), float(cams[0, 0, 1, 3, 1])
+    d_max = d_min + (D - 1) * d_int
+    c = np.asarray(preds["coarse_depth_map"])
+    assert np.isfinite(c).all()
+    assert (c >= d_min - 1e-3).all() and (c <= d_max + 1e-3).all()
+    # flow moves depth by at most m·step per iteration
+    for k, inter_s in [("flow1", 0.75), ("flow2", 0.375)]:
+        f = np.asarray(preds[k])
+        assert np.isfinite(f).all()
+    prob = np.asarray(preds["coarse_prob_map"])
+    assert (prob >= 0).all() and (prob <= 1 + 1e-5).all()
+
+
+def test_coarse_only_forward(fwd):
+    cfg, model, variables, images, cams, _, _ = fwd
+    preds = model.apply(variables, images, cams, is_flow=False,
+                        num_virtual_plane=D)
+    assert "flow1" not in preds and "coarse_depth_map" in preds
+
+
+def test_loss_and_metrics(fwd):
+    _, _, _, _, cams, gt, preds = fwd
+    losses = pointmvsnet_loss(preds, gt, cams)
+    for k in ["coarse_loss", "flow1_loss", "flow2_loss", "total_loss"]:
+        assert k in losses and np.isfinite(float(losses[k]))
+    np.testing.assert_allclose(
+        float(losses["total_loss"]),
+        float(losses["coarse_loss"] + losses["flow1_loss"] + losses["flow2_loss"]),
+        rtol=1e-6)
+    mets = pointmvsnet_metrics(preds, gt, cams)
+    for k, v in mets.items():
+        assert 0.0 <= float(v) <= 1.0, k
+
+
+def test_gradients_flow_everywhere(fwd):
+    cfg, model, variables, images, cams, gt, _ = fwd
+    params = variables["params"]
+    others = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        preds, _ = model.apply({"params": p, **others}, images, cams,
+                               is_flow=True, img_scales=(0.25,),
+                               inter_scales=(0.75,), num_virtual_plane=D,
+                               train=True, mutable=["batch_stats"])
+        return pointmvsnet_loss(preds, gt, cams)["total_loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves_with_path(grads)
+    assert leaves
+    zero_paths = []
+    for path, g in leaves:
+        if not np.all(np.isfinite(np.asarray(g))):
+            raise AssertionError(f"non-finite grad at {path}")
+        if float(jnp.max(jnp.abs(g))) == 0.0:
+            zero_paths.append(jax.tree_util.keystr(path))
+    # every major submodule must receive gradient (a few conv3/bias zeros
+    # are tolerated, e.g. unused pyramid level conv3)
+    for mod in ["img_conv", "vol_conv", "point_flow"]:
+        got = [p for p, g in leaves
+               if mod in jax.tree_util.keystr(p)
+               and float(jnp.max(jnp.abs(g))) > 0]
+        assert got, f"no nonzero grads reach {mod}: zeros={zero_paths[:10]}"
+
+
+def test_batchnorm_stats_update(fwd):
+    cfg, model, variables, images, cams, _, _ = fwd
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    _, updated = model.apply(variables, images, cams, is_flow=False,
+                             num_virtual_plane=D, train=True,
+                             mutable=["batch_stats"])
+    after = jax.tree_util.tree_leaves(updated["batch_stats"])
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(before, after))
+    assert changed
