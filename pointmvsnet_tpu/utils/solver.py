@@ -1,0 +1,43 @@
+"""Optimizer + LR schedule factories.
+
+Reference counterpart: ``pointmvsnet/utils/solver.py :: build_optimizer,
+build_scheduler`` (SURVEY.md §2.11): RMSprop (torch alpha=0.9) with weight
+decay, StepLR epoch decay. Rebuilt on optax; the epoch-granular torch
+scheduler becomes a per-step staircase schedule (identical trajectory when
+``steps_per_epoch`` matches the loader length).
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def build_lr_schedule(cfg, steps_per_epoch: int):
+    base = cfg.SOLVER.BASE_LR
+    if cfg.SCHEDULER.TYPE == "StepLR":
+        return optax.exponential_decay(
+            init_value=base,
+            transition_steps=max(1, cfg.SCHEDULER.STEP_LR.STEP_SIZE * steps_per_epoch),
+            decay_rate=cfg.SCHEDULER.STEP_LR.GAMMA,
+            staircase=True,
+        )
+    if cfg.SCHEDULER.TYPE == "none":
+        return base
+    raise ValueError(f"Unknown SCHEDULER.TYPE {cfg.SCHEDULER.TYPE!r}")
+
+
+def build_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    sched = build_lr_schedule(cfg, steps_per_epoch)
+    if cfg.SOLVER.TYPE == "RMSprop":
+        opt = optax.rmsprop(sched, decay=cfg.SOLVER.RMSPROP.ALPHA,
+                            eps=cfg.SOLVER.RMSPROP.EPS)
+    elif cfg.SOLVER.TYPE == "Adam":
+        opt = optax.adam(sched)
+    elif cfg.SOLVER.TYPE == "SGD":
+        opt = optax.sgd(sched, momentum=0.9)
+    else:
+        raise ValueError(f"Unknown SOLVER.TYPE {cfg.SOLVER.TYPE!r}")
+    if cfg.SOLVER.WEIGHT_DECAY > 0:
+        # torch-style decoupled-from-schedule L2: grad += wd · param
+        opt = optax.chain(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY), opt)
+    return opt
