@@ -169,9 +169,19 @@ class DTUTestDataset:
         images, cams = crop_mvs_input(images, cams, self.img_height,
                                       self.img_width, base=self.base)
         images = [norm_image(im) for im in images]
-        return {
+        item = {
             "images": np.stack(images).astype(np.float32),
             "cams": np.stack(cams).astype(np.float32),
             "scan": np.int32(scan),
             "ref_view": np.int32(ref),
         }
+        # depth-map-level eval metrics need GT when the split ships it
+        depth_path = os.path.join(self.root, "Depths", f"scan{scan}_train",
+                                  f"depth_map_{ref:04d}.pfm")
+        if os.path.isfile(depth_path):
+            gt = load_pfm(depth_path)
+            ih, iw = item["images"].shape[1:3]
+            if gt.shape[:2] != (ih, iw):
+                gt = resize_image(gt, (ih, iw), interpolation="nearest")
+            item["gt_depth"] = gt[..., None].astype(np.float32)
+        return item

@@ -47,6 +47,7 @@ from pointmvsnet_tpu.ops.sampling import fetch_features
 
 def scale_cams(cams: jnp.ndarray, sx: float, sy: float) -> jnp.ndarray:
     """jnp version of ``dataset.preprocess.scale_camera`` for on-device use."""
+    cams = jnp.asarray(cams)
     k = cams[..., 1, :, :]
     k = k.at[..., 0, :3].multiply(sx)
     k = k.at[..., 1, :3].multiply(sy)

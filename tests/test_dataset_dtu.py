@@ -44,7 +44,8 @@ def test_test_dataset(dtu_root):
                         scans=[1], base=16, light_idx=1)
     item = ds[0]
     assert item["images"].shape == (3, 64, 80, 3)
-    assert "gt_depth" not in item
+    # synthetic tree ships Depths/ → GT is loaded for depth-map-level eval
+    assert item["gt_depth"].shape == (64, 80, 1)
 
 
 def test_collate_and_loader(dtu_root):
