@@ -61,7 +61,11 @@ class ConvBlock(nn.Module):
         ks = (self.kernel_size,) * rank if isinstance(self.kernel_size, int) else tuple(self.kernel_size)
         st = (self.strides,) * rank if isinstance(self.strides, int) else tuple(self.strides)
         use_norm = self.norm != "none"
-        x = nn.Conv(self.features, ks, st, padding="SAME",
+        # explicit symmetric k//2 padding = torch Conv(padding=k//2) exactly;
+        # XLA "SAME" pads asymmetrically under stride 2 and would break
+        # converted-checkpoint parity (verified empirically)
+        pad = [(k // 2, k // 2) for k in ks]
+        x = nn.Conv(self.features, ks, st, padding=pad,
                     use_bias=not use_norm, dtype=self.dtype,
                     kernel_init=conv_kernel_init)(x)
         layer = _norm_layer(self.norm, self.dtype, train, self.gn_groups, self.features)
@@ -90,7 +94,12 @@ class DeconvBlock(nn.Module):
         ks = (self.kernel_size,) * rank if isinstance(self.kernel_size, int) else tuple(self.kernel_size)
         st = (self.strides,) * rank if isinstance(self.strides, int) else tuple(self.strides)
         use_norm = self.norm != "none"
-        x = nn.ConvTranspose(self.features, ks, st, padding="SAME",
+        # torch ConvTranspose(k, s, padding=k//2, output_padding=s-1)
+        # equivalence (verified empirically): transpose_kernel=True with
+        # per-dim padding (k-1-p, k-1-p+op)
+        pad = [(k - 1 - k // 2, k - 1 - k // 2 + s - 1) for k, s in zip(ks, st)]
+        x = nn.ConvTranspose(self.features, ks, st, padding=pad,
+                             transpose_kernel=True,
                              use_bias=not use_norm, dtype=self.dtype,
                              kernel_init=conv_kernel_init)(x)
         layer = _norm_layer(self.norm, self.dtype, train, self.gn_groups, self.features)

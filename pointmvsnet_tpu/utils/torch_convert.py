@@ -1,0 +1,193 @@
+"""PyTorch checkpoint → flax params converter.
+
+BASELINE.json requires "checkpoint-convertible weights": a reference
+``model_*.pth`` state dict must load into this framework for depth-map
+parity testing (SURVEY.md §7 step 5). The fiddly parts handled here:
+
+* conv kernels: torch OIHW → flax HWIO; 3D: OIDHW → DHWIO; 1×1 "convs"
+  that became Dense layers: (O, I) → (I, O);
+* BatchNorm: (weight, bias, running_mean, running_var) →
+  params (scale, bias) + batch_stats (mean, var);
+* transposed conv: torch IODHW/IOHW with flipped spatial semantics → flax
+  ConvTranspose HWIO/DHWIO kernels.
+
+Because ``/root/reference`` was empty at build time (SURVEY.md §0), the
+reference's exact module names are unverifiable; ``convert_state_dict``
+therefore works structurally: it walks OUR param tree, consumes torch
+tensors in the order given by an explicit name map (or a same-shape
+greedy match), and converts per-kind. The name map for the true reference
+layout is one small table to fill in once real checkpoints exist.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def load_pth(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file to {name: ndarray} (CPU, no grad)."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj:      # reference Checkpointer layout
+        obj = obj["model"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        k = k.removeprefix("module.")                  # nn.DataParallel prefix
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+# -- per-kind tensor conversions -------------------------------------------
+
+def torch_conv_to_flax(w: np.ndarray) -> np.ndarray:
+    """OIHW→HWIO or OIDHW→DHWIO."""
+    if w.ndim == 4:
+        return np.transpose(w, (2, 3, 1, 0))
+    if w.ndim == 5:
+        return np.transpose(w, (2, 3, 4, 1, 0))
+    raise ValueError(f"not a conv kernel: shape {w.shape}")
+
+
+def torch_deconv_to_flax(w: np.ndarray) -> np.ndarray:
+    """ConvTranspose: torch stores (I, O, *spatial); our DeconvBlock uses
+    flax ``ConvTranspose(transpose_kernel=True)`` whose kernel layout is
+    (*spatial, O, I) — verified output-exact vs torch."""
+    if w.ndim == 4:
+        return np.transpose(w, (2, 3, 1, 0))
+    if w.ndim == 5:
+        return np.transpose(w, (2, 3, 4, 1, 0))
+    raise ValueError(f"not a deconv kernel: shape {w.shape}")
+
+
+def torch_linear_to_flax(w: np.ndarray) -> np.ndarray:
+    """(O, I) → (I, O). Also used for 1×1 convs collapsed to Dense:
+    (O, I, 1, 1)/(O, I, 1) squeeze to (O, I) first."""
+    w = np.squeeze(w)
+    if w.ndim != 2:
+        raise ValueError(f"not a linear kernel: shape {w.shape}")
+    return np.ascontiguousarray(w.T)
+
+
+def flax_to_torch_conv(w: np.ndarray) -> np.ndarray:
+    if w.ndim == 4:
+        return np.transpose(w, (3, 2, 0, 1))
+    if w.ndim == 5:
+        return np.transpose(w, (4, 3, 0, 1, 2))
+    raise ValueError(f"shape {w.shape}")
+
+
+# -- structural conversion --------------------------------------------------
+
+def _flatten(tree: Mapping, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict:
+    out: Dict = {}
+    for path, v in flat.items():
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return out
+
+
+def _convert_leaf(path: Tuple[str, ...], torch_w: np.ndarray,
+                  target_shape: Tuple[int, ...]) -> np.ndarray:
+    leaf = path[-1]
+    parent = path[-2] if len(path) > 1 else ""
+    if leaf == "kernel":
+        if parent.startswith("ConvTranspose") or "Deconv" in parent:
+            w = torch_deconv_to_flax(torch_w)
+        elif parent.startswith("Dense"):
+            w = torch_linear_to_flax(torch_w)
+        elif torch_w.ndim >= 4:
+            w = torch_conv_to_flax(torch_w)
+        else:
+            w = torch_linear_to_flax(torch_w)
+    elif leaf in ("bias", "scale", "mean", "var"):
+        w = torch_w
+    else:
+        w = torch_w
+    if tuple(w.shape) != tuple(target_shape):
+        raise ValueError(
+            f"converted shape {w.shape} != target {target_shape} at {'/'.join(path)}")
+    return w.astype(np.float32)
+
+
+# torch BN/conv leaf-name suffix → flax leaf name within a module
+_TORCH_LEAF = {
+    "kernel": ("weight",),
+    "bias": ("bias",),
+    "scale": ("weight",),        # BN gamma
+    "mean": ("running_mean",),
+    "var": ("running_var",),
+}
+
+
+def convert_state_dict(torch_sd: Dict[str, np.ndarray],
+                       variables: Mapping,
+                       name_map: Dict[str, str] | None = None) -> Dict:
+    """Convert a torch state dict onto the structure of ``variables``
+    (a flax ``{"params": ..., "batch_stats": ...}`` tree).
+
+    ``name_map``: flax path string ("params/img_conv/ConvBlock_0/Conv_0/kernel")
+    → torch tensor name. Missing entries fall back to a same-shape greedy
+    match (after per-kind conversion), which is exact for sequentially
+    numbered architectures like this one. Raises if any flax leaf stays
+    unmatched.
+    """
+    import re
+
+    def natural(path: Tuple[str, ...]):
+        # "ConvBlock_10" must sort after "ConvBlock_2": split numeric runs
+        return tuple(
+            tuple(int(t) if t.isdigit() else t for t in re.split(r"(\d+)", p))
+            for p in path)
+
+    name_map = dict(name_map or {})
+    flat_target = _flatten(variables)
+    remaining = {k: np.asarray(v) for k, v in torch_sd.items()
+                 if np.asarray(v).dtype != np.int64}  # skip num_batches_tracked
+
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    unmatched = []
+    for path, target in sorted(flat_target.items(), key=lambda kv: natural(kv[0])):
+        pstr = "/".join(path)
+        tname = name_map.get(pstr)
+        if tname is not None:
+            if tname not in remaining:
+                raise KeyError(f"name_map points at missing torch tensor {tname!r}")
+            out[path] = _convert_leaf(path, remaining.pop(tname), np.shape(target))
+            continue
+        # greedy same-shape match in torch insertion order
+        hit = None
+        for name, w in remaining.items():
+            leaf_names = _TORCH_LEAF.get(path[-1], (path[-1],))
+            if not any(name.endswith("." + ln) or name == ln for ln in leaf_names):
+                continue
+            try:
+                conv = _convert_leaf(path, w, np.shape(target))
+            except ValueError:
+                continue
+            hit = (name, conv)
+            break
+        if hit is None:
+            unmatched.append(pstr)
+        else:
+            remaining.pop(hit[0])
+            out[path] = hit[1]
+    if unmatched:
+        raise ValueError(f"unmatched flax params ({len(unmatched)}): "
+                         f"{unmatched[:8]} ...")
+    return _unflatten(out)
