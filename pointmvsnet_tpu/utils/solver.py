@@ -27,6 +27,8 @@ def build_lr_schedule(cfg, steps_per_epoch: int):
 
 
 def build_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    from pointmvsnet_tpu.utils.freezer import with_frozen
+
     sched = build_lr_schedule(cfg, steps_per_epoch)
     if cfg.SOLVER.TYPE == "RMSprop":
         opt = optax.rmsprop(sched, decay=cfg.SOLVER.RMSPROP.ALPHA,
@@ -40,4 +42,5 @@ def build_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformati
     if cfg.SOLVER.WEIGHT_DECAY > 0:
         # torch-style decoupled-from-schedule L2: grad += wd · param
         opt = optax.chain(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY), opt)
-    return opt
+    # reference `nn/freezer.py` equivalence: zero updates for matching params
+    return with_frozen(opt, tuple(cfg.TRAIN.FROZEN_PATTERNS))

@@ -1,0 +1,84 @@
+"""Tanks & Temples loader + Freezer tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pointmvsnet_tpu.dataset.io import write_cam
+from pointmvsnet_tpu.dataset.tanks import TanksDataset
+
+
+@pytest.fixture(scope="module")
+def tanks_root(tmp_path_factory):
+    import cv2
+    root = tmp_path_factory.mktemp("tanks")
+    rng = np.random.RandomState(0)
+    for scene in ["Family", "Horse"]:
+        sd = root / scene
+        (sd / "cams").mkdir(parents=True)
+        (sd / "images").mkdir()
+        nv = 4
+        with open(sd / "pair.txt", "w") as f:
+            f.write(f"{nv}\n")
+            for v in range(nv):
+                others = [u for u in range(nv) if u != v]
+                f.write(f"{v}\n{len(others)} "
+                        + " ".join(f"{u} {50 - i}" for i, u in enumerate(others))
+                        + "\n")
+        for v in range(nv):
+            cam = np.zeros((2, 4, 4), np.float32)
+            cam[0] = np.eye(4)
+            cam[0, 0, 3] = -0.4 * v
+            cam[1, :3, :3] = [[100, 0, 48], [0, 100, 32], [0, 0, 1]]
+            cam[1, 3] = [5.0, 0.1, 96, 14.5]
+            write_cam(str(sd / "cams" / f"{v:08d}_cam.txt"), cam)
+            img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(sd / "images" / f"{v:08d}.jpg"), img)
+    return str(root)
+
+
+def test_tanks_dataset(tanks_root):
+    ds = TanksDataset(tanks_root, num_view=3, img_height=64, img_width=96,
+                      base=32)
+    assert len(ds) == 2 * 4
+    item = ds[0]
+    assert item["images"].shape == (3, 64, 96, 3)
+    assert item["cams"].shape == (3, 2, 4, 4)
+    # source is exactly target-sized → no scale, no crop, cy unchanged
+    assert abs(item["cams"][0, 1, 1, 2] - 32) < 1e-5
+    np.testing.assert_allclose(item["cams"][0, 1, 3, :2], [5.0, 0.1], rtol=1e-6)
+
+
+def test_tanks_missing_scene_skipped(tanks_root):
+    ds = TanksDataset(tanks_root, num_view=3, scenes=["Family", "Nope"],
+                      img_height=64, img_width=96, base=32)
+    assert ds.scenes == ["Family"]
+
+
+def test_freezer_masks_updates():
+    import jax.numpy as jnp
+    import optax
+    from pointmvsnet_tpu.utils.freezer import with_frozen
+
+    params = {"img_conv": {"kernel": jnp.ones(3)},
+              "vol_conv": {"kernel": jnp.ones(3)}}
+    opt = with_frozen(optax.sgd(0.1), [r"img_conv"])
+    st = opt.init(params)
+    grads = {"img_conv": {"kernel": jnp.ones(3)},
+             "vol_conv": {"kernel": jnp.ones(3)}}
+    updates, _ = opt.update(grads, st, params)
+    np.testing.assert_array_equal(np.asarray(updates["img_conv"]["kernel"]), 0.0)
+    assert np.all(np.asarray(updates["vol_conv"]["kernel"]) != 0.0)
+
+
+def test_freezer_noop_without_patterns():
+    import jax.numpy as jnp
+    import optax
+    from pointmvsnet_tpu.utils.freezer import with_frozen
+
+    opt = with_frozen(optax.sgd(0.1), [])
+    params = {"a": jnp.ones(2)}
+    st = opt.init(params)
+    updates, _ = opt.update({"a": jnp.ones(2)}, st, params)
+    np.testing.assert_allclose(np.asarray(updates["a"]), -0.1)
