@@ -54,7 +54,7 @@ def _load() -> Optional[ctypes.CDLL]:
                                    ctypes.c_int]
     lib.cam_load.argtypes = [ctypes.c_char_p,
                              np.ctypeslib.ndpointer(np.float32, flags="C"),
-                             ctypes.c_float, ctypes.c_int]
+                             ctypes.c_double, ctypes.c_int]
     lib.image_standardize.argtypes = [
         np.ctypeslib.ndpointer(np.float32, flags="C"),
         ctypes.c_int64, ctypes.c_int]

@@ -135,7 +135,7 @@ int pfm_load_batch(const char* paths, int n, int64_t plane, float* out,
 // out: 32 floats = (2, 4, 4) reference layout. interval_scale multiplies
 // the depth interval; if the depth line has <4 numbers and num_depth>0,
 // fills count and derives depth_max.
-int cam_load(const char* path, float* out, float interval_scale,
+int cam_load(const char* path, float* out, double interval_scale,
              int num_depth) {
   FILE* f = fopen(path, "rb");
   if (!f) return -10;
@@ -173,22 +173,22 @@ int cam_load(const char* path, float* out, float interval_scale,
       out[16 + r * 4 + c] = v;
       s = end;
     }
-  // depth line: up to 4 numbers
-  float depth[4] = {0, 0, 0, 0};
+  // depth line: up to 4 numbers (double precision to mirror python floats)
+  double depth[4] = {0, 0, 0, 0};
   int nd = 0;
   for (; nd < 4; ++nd) {
-    float v = strtof(s, &end);
+    double v = strtod(s, &end);
     if (end == s) break;
     depth[nd] = v;
     s = end;
   }
   // double intermediates to match numpy's float64 promotion bit-for-bit
-  if (nd >= 1) out[16 + 12 + 0] = depth[0];
+  if (nd >= 1) out[16 + 12 + 0] = (float)depth[0];
   if (nd >= 2)
-    out[16 + 12 + 1] = (float)((double)depth[1] * (double)interval_scale);
+    out[16 + 12 + 1] = (float)(depth[1] * interval_scale);
   if (nd >= 4) {
-    out[16 + 12 + 2] = depth[2];
-    out[16 + 12 + 3] = depth[3];
+    out[16 + 12 + 2] = (float)depth[2];
+    out[16 + 12 + 3] = (float)depth[3];
   } else if (num_depth > 0) {
     out[16 + 12 + 2] = (float)num_depth;
     out[16 + 12 + 3] = (float)((double)out[16 + 12] +
