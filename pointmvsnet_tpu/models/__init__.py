@@ -44,6 +44,7 @@ def build_pointmvsnet(cfg) -> Tuple[PointMVSNet, Callable, Callable]:
         knn_window=cfg.MODEL.KNN_WINDOW,
         norm=cfg.MODEL.NORM,
         dtype=_dtype(cfg),
+        knn_impl=cfg.MODEL.KNN_IMPL,
     )
     return model, pointmvsnet_loss, pointmvsnet_metrics
 

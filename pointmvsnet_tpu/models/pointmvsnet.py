@@ -41,7 +41,7 @@ from pointmvsnet_tpu.ops.geometry import (
     pixel_grid,
     unproject_pixels,
 )
-from pointmvsnet_tpu.ops.knn import window_knn
+from pointmvsnet_tpu.ops.knn import window_knn_auto
 from pointmvsnet_tpu.ops.sampling import fetch_features
 
 
@@ -71,6 +71,7 @@ class PointFlow(nn.Module):
     window: int = 5
     norm: str = "bn"
     dtype: jnp.dtype = jnp.float32
+    knn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
@@ -109,7 +110,8 @@ class PointFlow(nn.Module):
         point_feat = jnp.concatenate(feats, axis=-1)                  # (B, G·N, ΣC)
 
         # --- kNN graph over the structured hypothesis grid ----------------
-        idx = window_knn(x, (g, h, w), self.k, self.window)
+        idx = window_knn_auto(x.astype(jnp.float32), (g, h, w), self.k,
+                              self.window, impl=self.knn_impl)
         idx = jax.lax.stop_gradient(idx)
 
         # --- EdgeConv stack + flow head -----------------------------------
@@ -140,13 +142,14 @@ class PointMVSNet(nn.Module):
     norm: str = "bn"
     coarse_img_scale: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    knn_impl: str = "auto"
 
     def setup(self):
         self.img_conv = ImageConv(self.img_base_channels, self.norm, self.dtype)
         self.vol_conv = VolumeConv(self.vol_base_channels, self.norm, self.dtype)
         self.point_flow = PointFlow(self.edge_channels, self.flow_channels,
                                     self.flow_m, self.knn, self.knn_window,
-                                    self.norm, self.dtype)
+                                    self.norm, self.dtype, self.knn_impl)
 
     def _pyramid(self, images: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:
         """Run the shared 2D CNN over all views folded into batch."""

@@ -134,6 +134,19 @@ def blockwise_knn(queries: jnp.ndarray, keys: jnp.ndarray, k: int,
     return best_i
 
 
+def window_knn_auto(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
+                    k: int, window: int = 5, impl: str = "auto") -> jnp.ndarray:
+    """Dispatch between the XLA reference and the Pallas TPU kernel
+    (``MODEL.KNN_IMPL``): "auto" → Pallas on TPU when the grid qualifies."""
+    g, h, w = grid_shape
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu" and h % 8 == 0)
+    if use_pallas:
+        from pointmvsnet_tpu.ops.pallas.knn import pallas_window_knn
+        return pallas_window_knn(points, grid_shape, k, window)
+    return window_knn(points, grid_shape, k, window)
+
+
 def knn_indices_bruteforce(points: jnp.ndarray, k: int) -> jnp.ndarray:
     """Dense O(N²) reference implementation (tests only): the semantics the
     reference's plain-torch distance-matrix + topk path computes."""
