@@ -60,15 +60,16 @@ def main():
 
     fwd = jax.jit(lambda var, im, cm: model.apply(var, im, cm, **kwargs))
 
-    # compile + warmup
+    # compile + warmup (np.asarray forces real materialization — plain
+    # block_until_ready has proven unreliable through the axon tunnel)
     out = fwd(variables, images, cams)
-    jax.block_until_ready(out)
+    np.asarray(out["flow2"])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(variables, images, cams)
-    jax.block_until_ready(out)
+        float(out["flow2"][0, 0, 0])  # per-iter hard sync
     dt = (time.perf_counter() - t0) / iters
 
     maps_per_sec = b / dt

@@ -45,6 +45,7 @@ def build_pointmvsnet(cfg) -> Tuple[PointMVSNet, Callable, Callable]:
         norm=cfg.MODEL.NORM,
         dtype=_dtype(cfg),
         knn_impl=cfg.MODEL.KNN_IMPL,
+        flow_chunk_rows=cfg.MODEL.FLOW_CHUNK_ROWS,
     )
     return model, pointmvsnet_loss, pointmvsnet_metrics
 

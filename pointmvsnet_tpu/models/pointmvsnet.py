@@ -60,9 +60,10 @@ def _resize_views(images: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jax.image.resize(images, (b, v, h, w, c), method="bilinear")
 
 
-class PointFlow(nn.Module):
-    """One PointFlow refinement step (weights shared across iterations, as
-    in the reference's single flow module applied iteratively)."""
+class PointFlowCore(nn.Module):
+    """One PointFlow evaluation over a (band of a) depth map: hypothesis
+    points → multi-view variance features → windowed kNN → EdgeConvs →
+    per-hypothesis probabilities → expected residual."""
 
     edge_channels: Sequence[int] = (32, 32, 64)
     flow_channels: Sequence[int] = (64, 64, 16, 1)
@@ -76,16 +77,9 @@ class PointFlow(nn.Module):
     @nn.compact
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
                  ref_cam: jnp.ndarray, cur_depth: jnp.ndarray, step: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
-        """
-        levels:      feature pyramid, each (B, V, h_l, w_l, C_l)
-        cams_levels: cameras scaled to each level's resolution, (B, V, 2, 4, 4)
-        ref_cam:     (B, 2, 4, 4) reference camera at the FLOW resolution
-                     (that of ``cur_depth``) — used to unproject hypotheses
-        cur_depth:   (B, h, w) depth to refine
-        step:        (B,) hypothesis spacing = inter_scale · depth_interval
-        → refined depth (B, h, w)
-        """
+                 y_offset: int = 0, train: bool = False) -> jnp.ndarray:
+        """cur_depth (B, h, w) is rows [y_offset, y_offset+h) of the full
+        flow-resolution depth map; returns the refined band."""
         b, h, w = cur_depth.shape
         g = 2 * self.m + 1
         n = h * w
@@ -95,6 +89,8 @@ class PointFlow(nn.Module):
         hyp_depth = (cur_depth.reshape(b, 1, n)
                      + offsets[None, :, None] * step[:, None, None])  # (B, G, N)
         pix = pixel_grid(h, w, dtype=cur_depth.dtype)                 # (N, 3)
+        if y_offset:
+            pix = pix + jnp.asarray([0.0, y_offset, 0.0], cur_depth.dtype)
         pts = unproject_pixels(pix[None, None], hyp_depth,
                                cam_extrinsics(ref_cam)[:, None],
                                cam_intrinsics(ref_cam)[:, None])      # (B, G, N, 3)
@@ -129,6 +125,54 @@ class PointFlow(nn.Module):
         return cur_depth + residual.reshape(b, h, w)
 
 
+class PointFlow(nn.Module):
+    """PointFlow refinement step (weights shared across iterations, as in
+    the reference's single flow module applied iteratively).
+
+    ``chunk_rows``: when > 0 and the map is taller, the depth map is
+    processed in row bands of that height with a ``window//2``-row halo,
+    bounding peak memory so the 640×512 full-resolution test iteration
+    fits one chip (the reference's O(N²) memory wall, SURVEY.md §5).
+    Exactness: bit-identical to the unchunked pass with BatchNorm in eval
+    mode (running stats; the kNN window never reaches past the halo);
+    with GroupNorm (whose statistics reduce over the point axis) band
+    boundaries perturb results by ~1e-2 depth units — chunking is an
+    eval-memory feature, leave it 0 for GN training parity."""
+
+    edge_channels: Sequence[int] = (32, 32, 64)
+    flow_channels: Sequence[int] = (64, 64, 16, 1)
+    m: int = 2
+    k: int = 16
+    window: int = 5
+    norm: str = "bn"
+    dtype: jnp.dtype = jnp.float32
+    knn_impl: str = "auto"
+    chunk_rows: int = 0
+
+    def setup(self):
+        self.core = PointFlowCore(self.edge_channels, self.flow_channels,
+                                  self.m, self.k, self.window, self.norm,
+                                  self.dtype, self.knn_impl)
+
+    def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
+                 ref_cam: jnp.ndarray, cur_depth: jnp.ndarray, step: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        b, h, w = cur_depth.shape
+        cr = self.chunk_rows
+        if cr <= 0 or h <= cr:
+            return self.core(levels, cams_levels, ref_cam, cur_depth, step,
+                             0, train)
+        halo = self.window // 2
+        bands = []
+        for y0 in range(0, h, cr):
+            lo = max(0, y0 - halo)
+            hi = min(h, y0 + cr + halo)
+            band = self.core(levels, cams_levels, ref_cam,
+                             cur_depth[:, lo:hi], step, lo, train)
+            bands.append(band[:, y0 - lo: y0 - lo + cr])
+        return jnp.concatenate(bands, axis=1)
+
+
 class PointMVSNet(nn.Module):
     """Full model. ``__call__`` args after ``cams`` are static (Python)."""
 
@@ -143,13 +187,15 @@ class PointMVSNet(nn.Module):
     coarse_img_scale: float = 0.5
     dtype: jnp.dtype = jnp.float32
     knn_impl: str = "auto"
+    flow_chunk_rows: int = 0
 
     def setup(self):
         self.img_conv = ImageConv(self.img_base_channels, self.norm, self.dtype)
         self.vol_conv = VolumeConv(self.vol_base_channels, self.norm, self.dtype)
         self.point_flow = PointFlow(self.edge_channels, self.flow_channels,
                                     self.flow_m, self.knn, self.knn_window,
-                                    self.norm, self.dtype, self.knn_impl)
+                                    self.norm, self.dtype, self.knn_impl,
+                                    self.flow_chunk_rows)
 
     def _pyramid(self, images: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:
         """Run the shared 2D CNN over all views folded into batch."""

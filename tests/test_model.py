@@ -164,3 +164,24 @@ def test_batchnorm_stats_update(fwd):
     changed = any(not np.allclose(np.asarray(a), np.asarray(b))
                   for a, b in zip(before, after))
     assert changed
+
+
+def test_chunked_flow_exact_with_bn_eval(rng):
+    """Row-banded PointFlow must be bit-identical to the unchunked pass in
+    BN eval mode (running stats; halo covers the kNN window)."""
+    import jax
+    import jax.numpy as jnp
+    cfg = tiny_cfg()
+    cfg.MODEL.NORM = "bn"
+    images, cams, _ = make_batch(np.random.RandomState(1))
+    kw = dict(is_flow=True, img_scales=(0.25, 0.5),
+              inter_scales=(0.75, 0.375), num_virtual_plane=D, train=False)
+    m0, _, _ = build_model(cfg)
+    var = m0.init(jax.random.PRNGKey(0), images, cams, **kw)
+    p0 = m0.apply(var, images, cams, **kw)
+    cfg2 = cfg.clone()
+    cfg2.MODEL.FLOW_CHUNK_ROWS = 8
+    m1, _, _ = build_model(cfg2)
+    p1 = m1.apply(var, images, cams, **kw)
+    np.testing.assert_array_equal(np.asarray(p0["flow2"]), np.asarray(p1["flow2"]))
+    np.testing.assert_array_equal(np.asarray(p0["flow1"]), np.asarray(p1["flow1"]))
