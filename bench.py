@@ -15,6 +15,7 @@ real TPU via the axon tunnel (does NOT force the CPU backend).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -73,6 +74,15 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     maps_per_sec = b / dt
+
+    # optional detail file (north-star PointFlow iteration latency)
+    if os.environ.get("BENCH_DETAILS"):
+        from pointmvsnet_tpu.utils.profiler import stage_latencies
+        stages = stage_latencies(model, variables, images, cams,
+                                 img_scales, inter_scales, d)
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump({"stages_s": stages, "latency_s": dt}, f, indent=1)
+
     print(json.dumps({
         "metric": "dtu_depth_maps_per_sec_per_chip_640x512_V3_D48_2flow",
         "value": round(maps_per_sec, 4),

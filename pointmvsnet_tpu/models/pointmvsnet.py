@@ -222,10 +222,10 @@ class PointMVSNet(nn.Module):
         feats = self.img_conv(coarse_imgs.reshape(b * v, ch, cw, 3), train)["conv2"]
         fh, fw = feats.shape[1], feats.shape[2]
         feats = feats.reshape(b, v, fh, fw, -1)
-        cams_feat = scale_cams(cams, fw / width, fh / height).astype(dtype)
+        cams_feat = scale_cams(cams, fw / width, fh / height)  # stays fp32
 
         d_min, d_int, _, _ = cam_depth_range(cams[:, 0])
-        depths = depth_hypotheses(d_min, d_int, num_virtual_plane).astype(dtype)
+        depths = depth_hypotheses(d_min, d_int, num_virtual_plane)  # fp32
 
         cost = plane_sweep_volume(feats, cams_feat, depths)
         logits = self.vol_conv(cost, train)[..., 0]               # (B, D, fh, fw)
@@ -247,7 +247,7 @@ class PointMVSNet(nn.Module):
             pyr = self._pyramid(imgs_s, train)
             levels = [pyr["conv0"], pyr["conv1"], pyr["conv2"]]
             cams_levels = [
-                scale_cams(cams, lvl.shape[3] / width, lvl.shape[2] / height).astype(dtype)
+                scale_cams(cams, lvl.shape[3] / width, lvl.shape[2] / height)
                 for lvl in levels
             ]
             ref_cam = scale_cams(cams[:, 0], tw / width, th / height).astype(jnp.float32)

@@ -41,11 +41,13 @@ def plane_sweep_volume(feats: jnp.ndarray, cams: jnp.ndarray,
     b, v, h, w, c = feats.shape
     d = depths.shape[-1]
 
-    grid = pixel_grid(h, w, dtype=feats.dtype)  # (h·w, 3)
+    # geometry strictly in fp32 (bf16 pixel coords quantize to whole pixels)
+    cams = cams.astype(jnp.float32)
+    grid = pixel_grid(h, w, dtype=jnp.float32)  # (h·w, 3)
     ref_extr = cam_extrinsics(cams)[:, 0]
     ref_intr = cam_intrinsics(cams)[:, 0]
     # rays × depths: (B, D, h·w, 3) world points
-    pts = unproject_pixels(grid[None, None], depths[..., None],
+    pts = unproject_pixels(grid[None, None], depths.astype(jnp.float32)[..., None],
                            ref_extr[:, None], ref_intr[:, None])
     pts = pts.reshape(b, d * h * w, 3)
 

@@ -30,37 +30,58 @@ def bilinear_sample(feat: jnp.ndarray, uv: jnp.ndarray,
     out-of-bounds corner taps are dropped individually, so samples straddling
     the border are partially weighted.
     Leading dims of ``feat`` and ``uv`` must agree. → (..., N, C)
+
+    TPU note: the four bilinear taps are served by ONE gather from a
+    precomputed 2×2 "patch table" (each row holds the 4C values of a 2×2
+    neighborhood). Random-access gathers are latency-bound on TPU, so
+    quartering the gather count (and 4×-ing the row width) is ~4× faster
+    than four independent taps; the patch table itself is a cheap fused
+    pad+concat that XLA materializes once per feature map.
     """
     h, w, c = feat.shape[-3], feat.shape[-2], feat.shape[-1]
     u, v = uv[..., 0], uv[..., 1]
 
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
-    du = u - u0
-    dv = v - v0
-
-    flat = feat.reshape(*feat.shape[:-3], h * w, c)
-
-    def tap(ui, vi):
-        inside = (ui >= 0) & (ui <= w - 1) & (vi >= 0) & (vi <= h - 1)
-        idx = (jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)).astype(jnp.int32)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=-2)
-        return vals, inside[..., None]
-
+    du = (u - u0)[..., None]
+    dv = (v - v0)[..., None]
     i0 = u0.astype(jnp.int32)
     j0 = v0.astype(jnp.int32)
-    f00, m00 = tap(i0, j0)
-    f01, m01 = tap(i0 + 1, j0)
-    f10, m10 = tap(i0, j0 + 1)
-    f11, m11 = tap(i0 + 1, j0 + 1)
 
-    w00 = ((1 - du) * (1 - dv))[..., None]
-    w01 = (du * (1 - dv))[..., None]
-    w10 = ((1 - du) * dv)[..., None]
-    w11 = (du * dv)[..., None]
+    # patch table over border-shifted coords: row (jy, jx) with
+    # jy = y0+1 ∈ [0, h], jx = x0+1 ∈ [0, w] holds
+    # [F[y0,x0], F[y0,x0+1], F[y0+1,x0], F[y0+1,x0+1]] with zeros baked in
+    # for out-of-image positions — so straddling-border samples gather the
+    # correct (partially zero) 2×2 patch from a single row.
+    pad = [(0, 0)] * (feat.ndim - 3) + [(1, 1), (1, 1), (0, 0)]
+    fp = jnp.pad(feat, pad)                          # coords shifted by +1
+    hp, wp = h + 1, w + 1
+    patches = jnp.concatenate(
+        [fp[..., :hp, :wp, :], fp[..., :hp, 1:wp + 1, :],
+         fp[..., 1:hp + 1, :wp, :], fp[..., 1:hp + 1, 1:wp + 1, :]], axis=-1)
+    patches = patches.reshape(*feat.shape[:-3], hp * wp, 4 * c)
 
-    out = (jnp.where(m00, f00, 0) * w00 + jnp.where(m01, f01, 0) * w01
-           + jnp.where(m10, f10, 0) * w10 + jnp.where(m11, f11, 0) * w11)
+    idx = (jnp.clip(j0 + 1, 0, h) * wp + jnp.clip(i0 + 1, 0, w))
+    g = jnp.take_along_axis(patches, idx[..., None], axis=-2)
+    f00 = g[..., 0 * c:1 * c]
+    f01 = g[..., 1 * c:2 * c]
+    f10 = g[..., 2 * c:3 * c]
+    f11 = g[..., 3 * c:4 * c]
+
+    # per-tap validity (the clip above redirects out-of-range taps, and the
+    # padded rows/cols already hold zeros for the +1 taps at the border)
+    def inside(ui, vi):
+        return ((ui >= 0) & (ui <= w - 1) & (vi >= 0) & (vi <= h - 1))[..., None]
+
+    m00 = inside(i0, j0)
+    m01 = inside(i0 + 1, j0)
+    m10 = inside(i0, j0 + 1)
+    m11 = inside(i0 + 1, j0 + 1)
+
+    out = (jnp.where(m00, f00, 0) * ((1 - du) * (1 - dv))
+           + jnp.where(m01, f01, 0) * (du * (1 - dv))
+           + jnp.where(m10, f10, 0) * ((1 - du) * dv)
+           + jnp.where(m11, f11, 0) * (du * dv))
     if valid is not None:
         out = jnp.where(valid[..., None], out, 0)
     return out
@@ -76,7 +97,10 @@ def fetch_features(feats: jnp.ndarray, points: jnp.ndarray,
     → (B, V, N, C); points behind a camera or projecting outside its image
     contribute zeros (reference behavior via grid_sample zero padding).
     """
-    extr = cam_extrinsics(cams)   # (B, V, 4, 4)
-    intr = cam_intrinsics(cams)   # (B, V, 3, 3)
-    uv, z = project_points(points[:, None], extr, intr)  # (B, V, N, 2), (B, V, N)
+    # projection always in fp32: bf16 pixel coordinates quantize to ~2 px
+    # at 640-wide maps, which silently destroys sampling accuracy
+    cams32 = cams.astype(jnp.float32)
+    extr = cam_extrinsics(cams32)   # (B, V, 4, 4)
+    intr = cam_intrinsics(cams32)   # (B, V, 3, 3)
+    uv, z = project_points(points.astype(jnp.float32)[:, None], extr, intr)
     return bilinear_sample(feats, uv, valid=z > 0)
