@@ -2,8 +2,15 @@
 
 Reference counterpart: ``pointmvsnet/modules/networks.py :: EdgeConv,
 EdgeConvNoC`` (SURVEY.md §2.7): gather k neighbors (custom CUDA
-``gather_knn`` in the reference; ``ops/knn.py`` / Pallas here), form edge
-features, shared MLP, channel-wise max over neighbors.
+``gather_knn`` in the reference; ``ops/knn.py`` here), form edge features
+``concat(x_i, x_j − x_i)``, shared MLP, channel-wise max over neighbors.
+
+TPU formulation: the concat+MLP is computed as a SPLIT matmul —
+``W·concat(x_i, x_j − x_i) = W_c·x_i + W_n·(x_j − x_i)`` — so the center
+half runs once per point (not per neighbor) and the (N, K, 2C) edge tensor
+(1.5 GB at full eval resolution) never materializes. Bit-identical math,
+≈3× less HBM traffic. The parameter keeps the reference's single (2C, F)
+kernel layout for checkpoint convertibility.
 """
 
 from __future__ import annotations
@@ -11,7 +18,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pointmvsnet_tpu.models.blocks import SharedMLP
+from pointmvsnet_tpu.models.blocks import _norm_layer, conv_kernel_init
 from pointmvsnet_tpu.ops.knn import gather_knn
 
 
@@ -27,15 +34,29 @@ class EdgeConv(nn.Module):
     norm: str = "bn"
     use_center: bool = True
     dtype: jnp.dtype = jnp.float32
+    gn_groups: int = 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, knn_idx: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
-        neigh = gather_knn(x, knn_idx)                  # (B, N, K, C)
-        center = x[:, :, None, :]
-        edge = neigh - center
+        c = x.shape[-1]
+        in_dim = 2 * c if self.use_center else c
+        kernel = self.param("kernel", conv_kernel_init,
+                            (in_dim, self.features), jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        neigh = gather_knn(x, knn_idx)                      # (B, N, K, C)
+        diff = neigh - x[:, :, None, :]
         if self.use_center:
-            edge = jnp.concatenate(
-                [jnp.broadcast_to(center, neigh.shape), edge], axis=-1)
-        y = SharedMLP([self.features], norm=self.norm, dtype=self.dtype)(edge, train)
-        return jnp.max(y, axis=2)                       # max over K
+            w_c, w_n = kernel[:c], kernel[c:]
+            pre = (x @ w_c)[:, :, None, :] + diff @ w_n     # (B, N, K, F)
+        else:
+            pre = diff @ kernel
+
+        layer = _norm_layer(self.norm, self.dtype, train, self.gn_groups,
+                            self.features)
+        if layer is not None:
+            pre = layer(pre)
+        pre = nn.relu(pre)
+        return jnp.max(pre, axis=2)                         # max over K
