@@ -25,10 +25,29 @@ scale line (sign encodes endianness), rows stored bottom-up.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, List, Tuple
 
 import numpy as np
+
+_NATIVE = None
+
+
+def _native():
+    """The C++ data plane, if built (bit-exact equivalent — tests/test_native).
+    Disable with PMVS_NO_NATIVE=1."""
+    global _NATIVE
+    if _NATIVE is None:
+        if os.environ.get("PMVS_NO_NATIVE"):
+            _NATIVE = False
+        else:
+            try:
+                from pointmvsnet_tpu import native as n
+                _NATIVE = n if n.available() else False
+            except Exception:
+                _NATIVE = False
+    return _NATIVE
 
 
 # ---------------------------------------------------------------------------
@@ -37,6 +56,16 @@ import numpy as np
 
 def load_pfm(path: str) -> np.ndarray:
     """Read a PFM file → float32 array (H, W) or (H, W, 3), top-down rows."""
+    n = _native()
+    if n:
+        try:
+            return n.load_pfm(path)
+        except RuntimeError:
+            pass  # re-parse in python for a precise exception
+    return _load_pfm_py(path)
+
+
+def _load_pfm_py(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         header = f.readline().rstrip()
         if header == b"PF":
@@ -94,6 +123,18 @@ def load_cam(path: str, interval_scale: float = 1.0,
     numbers, ``num_depth``/``max_d`` fill in the hypothesis count and
     ``depth_max`` is derived as ``depth_min + (num_depth-1) * interval``.
     """
+    n = _native()
+    if n:
+        nd = num_depth if num_depth is not None else (max_d or 0)
+        try:
+            return n.load_cam(path, interval_scale, int(nd))
+        except RuntimeError:
+            pass  # re-parse in python for a precise exception
+    return _load_cam_py(path, interval_scale, num_depth, max_d)
+
+
+def _load_cam_py(path: str, interval_scale: float = 1.0,
+                 num_depth: int | None = None, max_d: int = 0) -> np.ndarray:
     with open(path, "r") as f:
         words = f.read().split()
     cam = np.zeros((2, 4, 4), dtype=np.float32)

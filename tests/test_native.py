@@ -18,14 +18,14 @@ def test_pfm_native_matches_python(tmp_path, rng):
     img = (rng.rand(33, 47).astype(np.float32) * 900).astype(np.float32)
     p = str(tmp_path / "d.pfm")
     pyio.write_pfm(p, img)
-    np.testing.assert_array_equal(native.load_pfm(p), pyio.load_pfm(p))
+    np.testing.assert_array_equal(native.load_pfm(p), pyio._load_pfm_py(p))
 
 
 def test_pfm_color_native(tmp_path, rng):
     img = rng.rand(16, 20, 3).astype(np.float32)
     p = str(tmp_path / "c.pfm")
     pyio.write_pfm(p, img)
-    np.testing.assert_array_equal(native.load_pfm(p), pyio.load_pfm(p))
+    np.testing.assert_array_equal(native.load_pfm(p), pyio._load_pfm_py(p))
 
 
 def test_pfm_batch_parallel(tmp_path, rng):
@@ -46,7 +46,7 @@ def test_cam_native_matches_python(tmp_path):
     p = str(tmp_path / "c.txt")
     open(p, "w").write(CAM_TXT)
     np.testing.assert_array_equal(native.load_cam(p, 1.06),
-                                  pyio.load_cam(p, 1.06))
+                                  pyio._load_cam_py(p, 1.06))
 
 
 def test_cam_native_short_line(tmp_path):
@@ -54,7 +54,7 @@ def test_cam_native_short_line(tmp_path):
     p = str(tmp_path / "c.txt")
     open(p, "w").write(CAM_TXT.replace("425.0 2.5 192 905.0", "425.0 2.5"))
     np.testing.assert_array_equal(native.load_cam(p, 1.0, num_depth=48),
-                                  pyio.load_cam(p, 1.0, num_depth=48))
+                                  pyio._load_cam_py(p, 1.0, num_depth=48))
 
 
 def test_standardize_matches_python(rng):

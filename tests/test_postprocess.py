@@ -95,3 +95,26 @@ def test_metrics_sanity(rng):
     assert 0.1 < m2["accuracy"] <= 0.51
     m3 = point_cloud_metrics(np.zeros((0, 3), np.float32), gt)
     assert m3["overall"] == float("inf")
+
+
+def test_fuse_cli_end_to_end(tmp_path):
+    """fuse entry: eval_file_logger-style export dir → PLY per scan."""
+    from pointmvsnet_tpu import fuse
+    from pointmvsnet_tpu.dataset.io import write_cam, write_pfm
+
+    depths, cams, _ = make_scene(nviews=3)
+    scan_dir = tmp_path / "depths" / "scan7"
+    scan_dir.mkdir(parents=True)
+    for v, (d, c) in enumerate(zip(depths, cams)):
+        stem = str(scan_dir / f"{v:08d}")
+        write_pfm(stem + "_init.pfm", d * 0.9)   # coarse (ignored: flow exists)
+        write_pfm(stem + "_flow2.pfm", d)
+        write_pfm(stem + "_prob.pfm", np.full(d.shape, 0.95, np.float32))
+        write_cam(stem + ".txt", c)
+    out = tmp_path / "clouds"
+    fuse.main(["--depth_dir", str(tmp_path / "depths"), "--out", str(out),
+               "--min_views", "2"])
+    pts, _ = read_ply(str(out / "scan7.ply"))
+    assert len(pts) > 100
+    np.testing.assert_allclose(pts[:, 2], 10.0, atol=1e-3)
+    assert (out / "fusion_results.json").exists()
