@@ -46,6 +46,7 @@ def build_pointmvsnet(cfg) -> Tuple[PointMVSNet, Callable, Callable]:
         dtype=_dtype(cfg),
         knn_impl=cfg.MODEL.KNN_IMPL,
         flow_chunk_rows=cfg.MODEL.FLOW_CHUNK_ROWS,
+        remat=cfg.MODEL.REMAT,
     )
     return model, pointmvsnet_loss, pointmvsnet_metrics
 

@@ -148,11 +148,17 @@ class PointFlow(nn.Module):
     dtype: jnp.dtype = jnp.float32
     knn_impl: str = "auto"
     chunk_rows: int = 0
+    remat: bool = False
 
     def setup(self):
-        self.core = PointFlowCore(self.edge_channels, self.flow_channels,
-                                  self.m, self.k, self.window, self.norm,
-                                  self.dtype, self.knn_impl)
+        core_cls = PointFlowCore
+        if self.remat:
+            # trade FLOPs for memory: recompute the flow activations in the
+            # backward pass (MODEL.REMAT; useful for large train batches)
+            core_cls = nn.remat(PointFlowCore, static_argnums=(6, 7))
+        self.core = core_cls(self.edge_channels, self.flow_channels,
+                             self.m, self.k, self.window, self.norm,
+                             self.dtype, self.knn_impl)
 
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
                  ref_cam: jnp.ndarray, cur_depth: jnp.ndarray, step: jnp.ndarray,
@@ -188,6 +194,7 @@ class PointMVSNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     knn_impl: str = "auto"
     flow_chunk_rows: int = 0
+    remat: bool = False
 
     def setup(self):
         self.img_conv = ImageConv(self.img_base_channels, self.norm, self.dtype)
@@ -195,7 +202,7 @@ class PointMVSNet(nn.Module):
         self.point_flow = PointFlow(self.edge_channels, self.flow_channels,
                                     self.flow_m, self.knn, self.knn_window,
                                     self.norm, self.dtype, self.knn_impl,
-                                    self.flow_chunk_rows)
+                                    self.flow_chunk_rows, self.remat)
 
     def _pyramid(self, images: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:
         """Run the shared 2D CNN over all views folded into batch."""
