@@ -7,6 +7,8 @@ families (e.g. the coarse-only MVSNet) are first-class.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable, Dict, Tuple
 
 import jax.numpy as jnp
@@ -48,7 +50,10 @@ def build_pointmvsnet(cfg) -> Tuple[PointMVSNet, Callable, Callable]:
         flow_chunk_rows=cfg.MODEL.FLOW_CHUNK_ROWS,
         remat=cfg.MODEL.REMAT,
     )
-    return model, pointmvsnet_loss, pointmvsnet_metrics
+    loss_fn = functools.partial(pointmvsnet_loss,
+                                valid_threshold=cfg.MODEL.VALID_THRESHOLD
+                                if cfg.MODEL.MASKED_LOSS else 0.0)
+    return model, loss_fn, pointmvsnet_metrics
 
 
 @register_model("mvsnet")

@@ -32,9 +32,16 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def pointmvsnet_loss(preds: Dict[str, jnp.ndarray], gt_depth: jnp.ndarray,
-                     cams: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+                     cams: jnp.ndarray,
+                     valid_threshold: float = 0.0) -> Dict[str, jnp.ndarray]:
     """Per-output masked MAE in interval units; total = unweighted sum
     (reference weighting reconstructed as 1.0 each — SURVEY.md §2.10 [med]).
+
+    ``valid_threshold`` (reference ``MODEL.VALID_THRESHOLD`` [med
+    semantics]): when > 0, each flow iteration's loss is additionally
+    restricted to pixels whose GT lies within ``threshold · interval`` of
+    that iteration's INPUT depth (``preds["flowN_input"]``) — PointFlow can
+    only move ±m·step, so unreachable targets would otherwise dominate.
 
     gt_depth: (B, H, W, 1) at image resolution, zeros invalid.
     """
@@ -44,12 +51,16 @@ def pointmvsnet_loss(preds: Dict[str, jnp.ndarray], gt_depth: jnp.ndarray,
 
     losses: Dict[str, jnp.ndarray] = {}
     total = 0.0
-    for key in ["coarse_depth_map"] + [k for k in sorted(preds) if k.startswith("flow")]:
+    for key in ["coarse_depth_map"] + sorted(
+            k for k in preds if k.startswith("flow") and not k.endswith("_input")):
         if key not in preds:
             continue
         pred = preds[key]
         g = _resize_gt(gt, pred.shape[1], pred.shape[2])
         mask = g > 0
+        if valid_threshold > 0 and key + "_input" in preds:
+            reach = jnp.abs(preds[key + "_input"] - g) * inv_int
+            mask = mask & (reach < valid_threshold)
         err = jnp.abs(pred - g) * inv_int
         name = "coarse_loss" if key == "coarse_depth_map" else f"{key}_loss"
         losses[name] = _masked_mean(err, mask)
@@ -68,7 +79,8 @@ def pointmvsnet_metrics(preds: Dict[str, jnp.ndarray], gt_depth: jnp.ndarray,
     interval = d_int[:, None, None]
 
     out: Dict[str, jnp.ndarray] = {}
-    for key in ["coarse_depth_map"] + [k for k in sorted(preds) if k.startswith("flow")]:
+    for key in ["coarse_depth_map"] + sorted(
+            k for k in preds if k.startswith("flow") and not k.endswith("_input")):
         if key not in preds:
             continue
         pred = preds[key]

@@ -106,9 +106,11 @@ class PointFlowCore(nn.Module):
         point_feat = jnp.concatenate(feats, axis=-1)                  # (B, G·N, ΣC)
 
         # --- kNN graph over the structured hypothesis grid ----------------
-        idx = window_knn_auto(x.astype(jnp.float32), (g, h, w), self.k,
-                              self.window, impl=self.knn_impl)
-        idx = jax.lax.stop_gradient(idx)
+        # stop_gradient on the INPUT: indices are non-differentiable and the
+        # Pallas kernel has no JVP rule — don't let tangents reach it
+        idx = window_knn_auto(jax.lax.stop_gradient(x).astype(jnp.float32),
+                              (g, h, w), self.k, self.window,
+                              impl=self.knn_impl)
 
         # --- EdgeConv stack + flow head -----------------------------------
         edge_outs = []
@@ -259,6 +261,8 @@ class PointMVSNet(nn.Module):
             ]
             ref_cam = scale_cams(cams[:, 0], tw / width, th / height).astype(jnp.float32)
             cur = jax.image.resize(cur, (b, th, tw), method="bilinear")
+            # the iteration's input depth, for VALID_THRESHOLD loss masking
+            preds[f"flow{it + 1}_input"] = jax.lax.stop_gradient(cur)
             step = (d_int * inter_s).astype(jnp.float32)
             cur = self.point_flow(levels, cams_levels, ref_cam, cur, step, train)
             preds[f"flow{it + 1}"] = cur

@@ -32,7 +32,8 @@ def eval_file_logger(batch: Dict[str, np.ndarray], preds: Dict[str, np.ndarray],
     os.makedirs(scan_dir, exist_ok=True)
     stem = os.path.join(scan_dir, f"{ref_view:08d}")
 
-    flow_keys = sorted(k for k in preds if k.startswith("flow"))
+    flow_keys = sorted(k for k in preds
+                       if k.startswith("flow") and not k.endswith("_input"))
     final_key = flow_keys[-1] if flow_keys else "coarse_depth_map"
 
     coarse = np.asarray(preds["coarse_depth_map"])[i]

@@ -1,0 +1,56 @@
+"""Serving Predictor tests: numpy-in/numpy-out, shape caching, crop handling."""
+
+import numpy as np
+
+from pointmvsnet_tpu.config import get_default_cfg
+from pointmvsnet_tpu.predictor import Predictor
+
+
+def small_cfg():
+    cfg = get_default_cfg()
+    cfg.MODEL.NUM_VIRTUAL_PLANE = 8
+    cfg.MODEL.IMG_BASE_CHANNELS = 4
+    cfg.MODEL.VOL_BASE_CHANNELS = 4
+    cfg.MODEL.EDGE_CHANNELS = (8,)
+    cfg.MODEL.FLOW_CHANNELS = (8, 1)
+    cfg.MODEL.KNN = 8
+    cfg.MODEL.NORM = "gn"
+    cfg.MODEL.TEST.IMG_SCALES = (0.25, 0.5)
+    cfg.MODEL.TEST.INTER_SCALES = (0.75, 0.375)
+    cfg.DATA.TEST.NUM_VIRTUAL_PLANE = 8
+    return cfg
+
+
+def make_views(rng, v=2, h=70, w=130):
+    images = (rng.rand(v, h, w, 3) * 255).astype(np.float32)
+    cams = np.zeros((v, 2, 4, 4), np.float32)
+    for vi in range(v):
+        cams[vi, 0] = np.eye(4)
+        cams[vi, 0, 0, 3] = -0.5 * vi
+        cams[vi, 1, :3, :3] = [[80, 0, w / 2], [0, 80, h / 2], [0, 0, 1]]
+        cams[vi, 1, 3] = [8.0, 0.5, 8, 11.5]
+    return images, cams
+
+
+def test_predictor_end_to_end(rng):
+    pred = Predictor(small_cfg())
+    images, cams = make_views(rng)
+    out = pred(images, cams)
+    # 70x130 crops to 64x128; final flow at 0.5 scale
+    assert out["depth"].shape == (32, 64)
+    assert out["confidence"].shape == (8, 16)
+    assert np.isfinite(out["depth"]).all()
+    d_min, d_max = 8.0, 11.5
+    assert out["depth"].min() >= d_min - 1.5 and out["depth"].max() <= d_max + 1.5
+
+
+def test_predictor_shape_cache(rng):
+    pred = Predictor(small_cfg())
+    images, cams = make_views(rng)
+    pred(images, cams)
+    assert len(pred._fns) == 1
+    pred(images, cams)
+    assert len(pred._fns) == 1  # same shape → cached executable
+    images2, cams2 = make_views(rng, h=64, w=64)
+    pred(images2, cams2)
+    assert len(pred._fns) == 2
