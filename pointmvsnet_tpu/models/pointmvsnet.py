@@ -221,6 +221,14 @@ class PointMVSNet(nn.Module):
         """images (B, V, H, W, 3) normalized; cams (B, V, 2, 4, 4) at image
         resolution; view 0 is the reference view."""
         b, v, height, width, _ = images.shape
+        if height % 64 or width % 64:
+            raise ValueError(
+                f"input {height}x{width} must be divisible by 64 (coarse "
+                f"stage 1/8 + 3-level volume U-Net); crop_mvs_input(base=64) "
+                f"in the data plane produces compliant shapes")
+        if num_virtual_plane % 8:
+            raise ValueError(f"num_virtual_plane={num_virtual_plane} must be "
+                             f"divisible by 8 (volume U-Net strides)")
         dtype = self.dtype
         images = images.astype(dtype)
 
