@@ -66,12 +66,16 @@ def main():
     out = fwd(variables, images, cams)
     np.asarray(out["flow2"])
 
-    iters = 10
+    # sustained throughput: enqueue the whole batch stream, then force a
+    # scalar out of EVERY output — each execution must really have run,
+    # while device-side queuing overlaps dispatch (the eval engine
+    # processes scans exactly this way)
+    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, images, cams)
-        float(out["flow2"][0, 0, 0])  # per-iter hard sync
+    outs = [fwd(variables, images, cams) for _ in range(iters)]
+    checksum = sum(float(o["flow2"][0, 0, 0]) for o in outs)
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(checksum)
 
     maps_per_sec = b / dt
 
