@@ -54,3 +54,34 @@ def test_predictor_shape_cache(rng):
     images2, cams2 = make_views(rng, h=64, w=64)
     pred(images2, cams2)
     assert len(pred._fns) == 2
+
+
+def test_predictor_loads_checkpoint(tmp_path, rng):
+    """Checkpoint → Predictor chain: saved weights must drive predictions."""
+    import jax
+    from pointmvsnet_tpu.models import build_model
+    from pointmvsnet_tpu.parallel import create_train_state
+    from pointmvsnet_tpu.utils.checkpoint import Checkpointer
+    from pointmvsnet_tpu.utils.solver import build_optimizer
+
+    cfg = small_cfg()
+    images, cams = make_views(rng, h=64, w=64)
+    model, _, _ = build_model(cfg)
+    opt = build_optimizer(cfg, 1)
+    kw = dict(is_flow=True, img_scales=(0.25,), inter_scales=(0.75,),
+              num_virtual_plane=8)
+    state = create_train_state(model, opt, jax.random.PRNGKey(7),
+                               {"images": images[None], "cams": cams[None]}, kw)
+    # make the params recognizably different from a fresh init
+    state = state.replace(params=jax.tree_util.tree_map(
+        lambda x: x * 0 + 0.05, state.params))
+    cp = Checkpointer(str(tmp_path / "ckpt"))
+    cp.save(state, 3)
+    cp.close()
+
+    pred = Predictor(cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+    out = pred(images, cams)
+    assert np.isfinite(out["depth"]).all()
+    # loaded params are the constant tree, not a fresh random init
+    leaf = jax.tree_util.tree_leaves(pred._variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(leaf), 0.05)
