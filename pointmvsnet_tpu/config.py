@@ -262,9 +262,13 @@ def load_cfg_from_file(filename: str) -> CfgNode:
 
 
 def purge_cfg(cfg: CfgNode) -> None:
-    """Drop empty-string leaves so they fall back to defaults (mirrors the
-    reference's ``purge_cfg`` convention of treating "" as unset)."""
+    """Drop ``None``-valued leaves and empty sections (mirrors the
+    reference's ``purge_cfg`` cleanup of unset keys before freezing)."""
     for k in list(cfg.keys()):
         v = cfg[k]
         if isinstance(v, CfgNode):
             purge_cfg(v)
+            if not v:
+                del cfg[k]
+        elif v is None:
+            del cfg[k]

@@ -69,3 +69,11 @@ def test_dump_roundtrip(tmp_path):
     p.write_text(cfg.dump())
     cfg2 = load_cfg_from_file(str(p))
     assert cfg2.MODEL.FLOW_CHANNELS == cfg.MODEL.FLOW_CHANNELS
+
+
+def test_purge_cfg():
+    from pointmvsnet_tpu.config import purge_cfg
+    cfg = CfgNode({"A": 1, "B": None, "C": {"D": None}, "E": {"F": 2}})
+    purge_cfg(cfg)
+    assert "B" not in cfg and "C" not in cfg
+    assert cfg.A == 1 and cfg.E.F == 2

@@ -82,3 +82,13 @@ def test_freezer_noop_without_patterns():
     st = opt.init(params)
     updates, _ = opt.update({"a": jnp.ones(2)}, st, params)
     np.testing.assert_allclose(np.asarray(updates["a"]), -0.1)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """xprof trace context manager produces a trace directory."""
+    import jax.numpy as jnp
+    from pointmvsnet_tpu.utils.profiler import trace
+    with trace(str(tmp_path / "tb")):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    import os
+    assert os.path.isdir(str(tmp_path / "tb"))
