@@ -41,6 +41,9 @@ def make_inputs(b, v, h, w, d):
 def main():
     import jax
 
+    from pointmvsnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from pointmvsnet_tpu.config import get_default_cfg
     from pointmvsnet_tpu.models import build_model
 

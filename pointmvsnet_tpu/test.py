@@ -100,6 +100,8 @@ def test(cfg, output_dir: str, max_batches: Optional[int] = None, mesh=None):
 
 
 def main(argv=None):
+    from pointmvsnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = parse_args(argv)
     cfg = load_cfg_from_file(args.cfg)
     if args.opts:

@@ -143,6 +143,8 @@ def train(cfg, output_dir: str, max_steps_per_epoch: Optional[int] = None,
 
 
 def main(argv=None):
+    from pointmvsnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = parse_args(argv)
     cfg = load_cfg_from_file(args.cfg)
     if args.opts:
