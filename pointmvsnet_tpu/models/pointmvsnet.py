@@ -170,13 +170,19 @@ class PointFlow(nn.Module):
         if cr <= 0 or h <= cr:
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,
                              0, train)
-        halo = self.window // 2
+        assert h % cr == 0 and cr % 8 == 0, (
+            f"FLOW_CHUNK_ROWS={cr} must divide the flow height {h} and be a "
+            f"multiple of 8")
+        # fixed-size 8-aligned bands: halo 4 ≥ window//2 keeps the kNN window
+        # inside the band, (cr + 8) % 8 == 0 keeps the Pallas kernel eligible,
+        # and a clamped window makes every band the SAME shape (one compile).
+        halo = 4
+        bs = cr + 2 * halo
         bands = []
         for y0 in range(0, h, cr):
-            lo = max(0, y0 - halo)
-            hi = min(h, y0 + cr + halo)
+            lo = min(max(0, y0 - halo), h - bs)
             band = self.core(levels, cams_levels, ref_cam,
-                             cur_depth[:, lo:hi], step, lo, train)
+                             cur_depth[:, lo:lo + bs], step, lo, train)
             bands.append(band[:, y0 - lo: y0 - lo + cr])
         return jnp.concatenate(bands, axis=1)
 
