@@ -212,7 +212,8 @@ def get_default_cfg() -> CfgNode:
     # TPU-native additions (no reference counterpart)
     _C.MODEL.DTYPE = "float32"               # compute dtype: "float32" | "bfloat16"
     _C.MODEL.KNN_IMPL = "auto"               # "auto" | "xla" | "pallas"
-    _C.MODEL.FLOW_CHUNK_ROWS = 0             # >0: row-banded PointFlow (memory cap)
+    _C.MODEL.FLOW_CHUNK_ROWS = 0             # >0: row-banded PointFlow (memory cap;
+                                             # 128 is optimal for full-res eval on v5e)
     _C.MODEL.REMAT = False                   # jax.checkpoint the flow stages
 
     # -- solver (reference `pointmvsnet/utils/solver.py`) ----------------

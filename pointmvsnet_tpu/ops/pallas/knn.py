@@ -90,13 +90,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_VMEM_BUDGET = 13 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def _vmem_need(g: int, nsh: int, w_pad: int, tile_h: int) -> int:
+    """input block (nsh·3·g) + dist scratch (g · g·nsh) + out block bytes."""
+    return ((nsh * 3 * g + g * g * nsh) * w_pad * tile_h * 4
+            + 16 * g * tile_h * w_pad * 4)
+
+
 @functools.partial(jax.jit, static_argnames=("grid_shape", "k", "window",
                                              "tile_h", "interpret"))
 def pallas_window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
                       k: int = 16, window: int = 5, tile_h: int = 0,
                       interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ``ops.knn.window_knn``: points (B, P, 3) g-major →
-    indices (B, P, k) nearest-first. Needs H % 8 == 0 (flow grids are)."""
+    indices (B, P, k) nearest-first. Needs H % 8 == 0 (flow grids are).
+
+    Wide grids whose minimal (8-row) tile would blow the VMEM budget are
+    split into column segments with a ``window//2`` halo, each run through
+    the kernel independently, with local flat indices remapped to the full
+    grid — exact, like the row banding."""
     g, h, w = grid_shape
     b = points.shape[0]
     r = window // 2
@@ -104,6 +118,35 @@ def pallas_window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
     assert window % 2 == 1
     assert points.shape[1] == g * h * w
     w_pad = _round_up(w, 128)
+
+    if _vmem_need(g, nsh, w_pad, 8) > _VMEM_BUDGET and w > 128:
+        nseg = 2
+        while True:
+            ws = -(-w // nseg)
+            seg_pad = _round_up(ws + 2 * r, 128)
+            if _vmem_need(g, nsh, seg_pad, 8) <= _VMEM_BUDGET or ws <= 128:
+                break
+            nseg += 1
+        pts_grid = points.reshape(b, g, h, w, 3)
+        outs = []
+        for s in range(nseg):
+            x0 = s * ws
+            x1 = min(w, x0 + ws)
+            lo = max(0, x0 - r)
+            hi = min(w, x1 + r)
+            wseg = hi - lo
+            seg = pts_grid[:, :, :, lo:hi].reshape(b, g * h * wseg, 3)
+            idx = pallas_window_knn(seg, (g, h, wseg), k, window, tile_h,
+                                    interpret)
+            idx = idx.reshape(b, g, h, wseg, k)
+            gq = idx // (h * wseg)
+            rem = idx - gq * (h * wseg)
+            y = rem // wseg
+            x = rem - y * wseg
+            gidx = gq * (h * w) + y * w + (x + lo)
+            outs.append(gidx[:, :, :, x0 - lo: x0 - lo + (x1 - x0)])
+        out = jnp.concatenate(outs, axis=3)
+        return out.reshape(b, g * h * w, k)
 
     if tile_h == 0:
         assert h % 8 == 0, f"pallas_window_knn needs H % 8 == 0, got {h}"

@@ -57,3 +57,17 @@ def test_auto_dispatch_uses_xla_on_cpu(rng):
     out = np.asarray(window_knn_auto(pts, (g, h, w), 6, 3, impl="auto"))
     ref = np.asarray(window_knn(pts, (g, h, w), 6, 3))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_column_split_path(rng, monkeypatch):
+    """Wide-grid column splitting must match the unsplit kernel exactly."""
+    import pointmvsnet_tpu.ops.pallas.knn as pk
+    g, h, w, k, window = 3, 8, 24, 6, 3
+    pts = jnp.asarray(rng.rand(1, g * h * w, 3).astype(np.float32) * 3)
+    ref = np.asarray(window_knn(pts, (g, h, w), k, window))
+    # force the split path by shrinking the budget
+    monkeypatch.setattr(pk, "_VMEM_BUDGET", pk._vmem_need(g, 9, 128, 8) - 1)
+    got = np.asarray(pk.pallas_window_knn(pts, (g, h, w), k, window,
+                                          interpret=True))
+    np.testing.assert_allclose(_dist_sets(np.asarray(pts), got),
+                               _dist_sets(np.asarray(pts), ref), atol=1e-5)
