@@ -100,22 +100,36 @@ def train(cfg, output_dir: str, max_steps_per_epoch: Optional[int] = None,
                 model, loss_fn, metric_fn, mesh, _model_kwargs(cfg, is_flow))
 
         # ---- train epoch -------------------------------------------------
+        # losses are materialized (host sync) only at LOG_PERIOD: a per-step
+        # float() costs a full device round-trip (~100 ms through the
+        # tunnel) and would serialize the async dispatch pipeline
         train_loader.set_epoch(epoch)
         meters = MetricLogger()
+        window_start = time.time()
+        window_data = 0.0
+        window_steps = 0
         tic = time.time()
         for it, batch in enumerate(train_loader):
             if max_steps_per_epoch and it >= max_steps_per_epoch:
                 break
-            data_time = time.time() - tic
+            window_data += time.time() - tic
             batch = {k: batch[k] for k in ("images", "cams", "gt_depth")}
             state, losses = step_fns[is_flow](state, shard_batch(batch, mesh))
-            losses = {k: float(v) for k, v in losses.items()}
-            meters.update(batch_time=time.time() - tic - data_time,
-                          data_time=data_time, **losses)
+            window_steps += 1
             if it % cfg.TRAIN.LOG_PERIOD == 0:
+                losses_f = {k: float(v) for k, v in losses.items()}  # syncs
+                elapsed = time.time() - window_start
+                meters.update(
+                    batch_time=(elapsed - window_data) / window_steps,
+                    data_time=window_data / window_steps, **losses_f)
                 logger.info("epoch %d iter %d/%d  %s", epoch, it,
                             steps_per_epoch, meters)
+                window_start = time.time()
+                window_data = 0.0
+                window_steps = 0
             tic = time.time()
+        # final sync so the epoch boundary is real
+        meters.update(**{k: float(v) for k, v in losses.items()})
         tb.add_scalars(meters.summary, epoch, prefix="train/")
 
         # ---- validation --------------------------------------------------
