@@ -150,10 +150,8 @@ def pallas_window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
 
     if tile_h == 0:
         assert h % 8 == 0, f"pallas_window_knn needs H % 8 == 0, got {h}"
-        # input block (nsh·3·G·TH·W_pad) + dist scratch (G·nsh·TH·W_pad) f32
-        per_row = (nsh * 3 * g + g * nsh) * w_pad * 4
-        budget = 6 * 1024 * 1024 // per_row
-        divisors = [t for t in range(8, h + 1, 8) if h % t == 0 and t <= budget]
+        divisors = [t for t in range(8, h + 1, 8) if h % t == 0
+                    and _vmem_need(g, nsh, w_pad, t) <= _VMEM_BUDGET]
         tile_h = max(divisors) if divisors else 8
     assert tile_h % 8 == 0 and h % tile_h == 0, (h, tile_h)
 
