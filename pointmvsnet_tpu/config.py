@@ -14,6 +14,7 @@ reference behavior.
 
 from __future__ import annotations
 
+import ast
 import copy
 from typing import Any, Dict, List
 
@@ -146,7 +147,16 @@ def _coerce(value: Any, old: Any, key: str) -> Any:
         if isinstance(old, float):
             return float(value)
         if isinstance(old, (list, tuple)):
-            parsed = yaml.safe_load(value)
+            # "(0.25, 0.5)" (python literal, what yacs accepts) or
+            # "[0.25, 0.5]" (yaml). yaml.safe_load returns paren strings
+            # unchanged, and tuple(<str>) would explode into characters.
+            try:
+                parsed = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                parsed = yaml.safe_load(value)
+            if not isinstance(parsed, (list, tuple)):
+                raise ValueError(
+                    f"Cannot parse {value!r} as a sequence for key {key!r}")
             return tuple(parsed) if isinstance(old, tuple) else list(parsed)
     if isinstance(old, float) and isinstance(value, int):
         return float(value)

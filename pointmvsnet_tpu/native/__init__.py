@@ -9,6 +9,7 @@ parallel batch PFM loader. Falls back cleanly: callers must check
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import List, Optional
@@ -19,8 +20,15 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "dataplane.cpp")
 _LIB = os.path.join(_HERE, "libdataplane.so")
 
+_HASH = _LIB + ".srchash"
+
 _lib: Optional[ctypes.CDLL] = None
 _build_error: Optional[str] = None
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _build() -> Optional[str]:
@@ -29,17 +37,29 @@ def _build() -> Optional[str]:
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
              "-o", _LIB, _SRC, "-lpthread"],
             check=True, capture_output=True, text=True, timeout=120)
+        with open(_HASH, "w") as f:
+            f.write(_src_hash())
         return None
     except (subprocess.CalledProcessError, FileNotFoundError,
             subprocess.TimeoutExpired) as e:
         return getattr(e, "stderr", str(e)) or str(e)
 
 
+def _stale() -> bool:
+    # Content-hash gate: a .so not built from the current source on this
+    # machine (foreign binary, different ISA, edited source) is always
+    # rebuilt — mtime comparisons can't catch a foreign/stale binary.
+    if not os.path.isfile(_LIB) or not os.path.isfile(_HASH):
+        return True
+    with open(_HASH) as f:
+        return f.read().strip() != _src_hash()
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_error
     if _lib is not None:
         return _lib
-    if not os.path.isfile(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    if _stale():
         _build_error = _build()
         if _build_error:
             return None

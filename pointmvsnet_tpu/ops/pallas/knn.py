@@ -117,6 +117,11 @@ def pallas_window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
     nsh = window * window
     assert window % 2 == 1
     assert points.shape[1] == g * h * w
+    # Same corner-candidate sufficiency bound the XLA path enforces
+    # (ops/knn.py): at an image corner only (r+1)² spatial offsets are
+    # in-bounds; with fewer than k real candidates the kernel would emit
+    # sentinel-decoded out-of-range neighbor indices silently.
+    assert g * ((r + 1) ** 2) >= k, "not enough in-bounds candidates at corners"
     w_pad = _round_up(w, 128)
 
     if _vmem_need(g, nsh, w_pad, 8) > _VMEM_BUDGET and w > 128:

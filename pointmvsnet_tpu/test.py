@@ -48,7 +48,11 @@ def test(cfg, output_dir: str, max_batches: Optional[int] = None, mesh=None):
     model, loss_fn, metric_fn = build_model(cfg)
     loader = build_data_loader(cfg, "test")
     if mesh is None:
-        mesh = make_mesh(cfg.PARALLEL.DATA)
+        # Clamp the eval mesh to the batch size: shard_batch with P("data")
+        # needs the leading dim divisible by the mesh; TEST.BATCH_SIZE is
+        # typically 1 while PARALLEL.DATA=-1 would grab every device.
+        n_dev = len(jax.devices()) if cfg.PARALLEL.DATA == -1 else cfg.PARALLEL.DATA
+        mesh = make_mesh(min(n_dev, max(1, cfg.TEST.BATCH_SIZE)))
 
     kwargs = dict(
         is_flow=cfg.MODEL.NAME != "mvsnet",

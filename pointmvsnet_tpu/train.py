@@ -74,7 +74,13 @@ def train(cfg, output_dir: str, max_steps_per_epoch: Optional[int] = None,
         mesh = make_mesh(cfg.PARALLEL.DATA)
     logger.info("mesh: %s over %d device(s)", mesh.axis_names, mesh.size)
 
-    example = next(iter(train_loader))
+    try:
+        example = next(iter(train_loader))
+    except StopIteration:
+        raise RuntimeError(
+            f"empty train loader: {len(train_loader)} batches — dataset "
+            f"smaller than TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} with "
+            f"drop_last, or ROOT_DIR={cfg.DATA.TRAIN.ROOT_DIR!r} has no scans")
     example = {k: v for k, v in example.items()
                if k in ("images", "cams", "gt_depth")}
     # init with flow ON (when the model supports it) so PointFlow params
@@ -108,6 +114,7 @@ def train(cfg, output_dir: str, max_steps_per_epoch: Optional[int] = None,
         window_start = time.time()
         window_data = 0.0
         window_steps = 0
+        losses = {}  # stays empty if the loader yields zero batches
         tic = time.time()
         for it, batch in enumerate(train_loader):
             if max_steps_per_epoch and it >= max_steps_per_epoch:
@@ -129,6 +136,9 @@ def train(cfg, output_dir: str, max_steps_per_epoch: Optional[int] = None,
                 window_steps = 0
             tic = time.time()
         # final sync so the epoch boundary is real
+        if window_steps == 0 and not meters.summary:
+            logger.warning("epoch %d: train loader yielded zero batches "
+                           "(dataset smaller than batch size?)", epoch)
         meters.update(**{k: float(v) for k, v in losses.items()})
         tb.add_scalars(meters.summary, epoch, prefix="train/")
 
