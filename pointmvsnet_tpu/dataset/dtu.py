@@ -120,7 +120,19 @@ class DTUTrainValDataset:
 
 
 class DTUTestDataset:
-    """Evaluation split: higher view count / depth count, no GT required."""
+    """Evaluation split: higher view count / depth count, no GT required.
+
+    Auto-detects, per scan, which DTU release the tree is:
+
+    - **eval release** (``Eval/scan{n}/`` or ``scan{n}/`` directly under the
+      root, with ``images/{view:08d}.jpg`` + ``cams/{view:08d}_cam.txt``
+      and an optional per-scan ``pair.txt``) — the layout the official
+      preprocessed DTU *testing* download unpacks to;
+    - **training release** (``Rectified/scan{n}_train/rect_*_r5000.png``
+      with shared ``Cameras/``) — what the train/val splits use.
+
+    Scans of both layouts may coexist in one root.
+    """
 
     def __init__(self, root_dir: str, num_view: int = 5,
                  num_virtual_plane: int = 96, interval_scale: float = 0.8,
@@ -137,28 +149,68 @@ class DTUTestDataset:
         self.light_idx = light_idx
         if scans is None:
             scans = DTU_EVAL_SCANS
-        self.scans = [s for s in scans if os.path.isdir(self._scan_dir(s))]
-        self.pair = load_pair(os.path.join(self.root, "Cameras", "pair.txt"))
-        self.index = [
-            (scan, ref) for scan in self.scans
-            for ref in self.pair if len(self.pair[ref]) >= num_view - 1
-        ]
+        self._layout: Dict[int, tuple] = {}
+        for s in scans:
+            found = self._find_scan(s)
+            if found is not None:
+                self._layout[s] = found
+        self.scans = sorted(self._layout)
+        shared_pair_path = os.path.join(self.root, "Cameras", "pair.txt")
+        shared_pair = (load_pair(shared_pair_path)
+                       if os.path.isfile(shared_pair_path) else None)
+        self.pair: Dict[int, dict] = {}
+        self.index = []
+        for scan in self.scans:
+            kind, scan_dir = self._layout[scan]
+            scan_pair_path = os.path.join(scan_dir, "pair.txt")
+            pair = (load_pair(scan_pair_path)
+                    if os.path.isfile(scan_pair_path) else shared_pair)
+            if pair is None:
+                raise FileNotFoundError(
+                    f"no pair.txt for scan {scan}: neither {scan_pair_path} "
+                    f"nor {shared_pair_path} exists")
+            self.pair[scan] = pair
+            self.index.extend(
+                (scan, ref) for ref in pair
+                if len(pair[ref]) >= num_view - 1)
 
-    def _scan_dir(self, scan: int) -> str:
-        return os.path.join(self.root, "Rectified", f"scan{scan}_train")
+    def _find_scan(self, scan: int):
+        """→ ("eval"|"train", scan_dir) or None if the scan is absent."""
+        for cand in (os.path.join(self.root, "Eval", f"scan{scan}"),
+                     os.path.join(self.root, f"scan{scan}")):
+            if os.path.isdir(os.path.join(cand, "images")):
+                return ("eval", cand)
+        rect = os.path.join(self.root, "Rectified", f"scan{scan}_train")
+        if os.path.isdir(rect):
+            return ("train", rect)
+        return None
+
+    def _view_paths(self, scan: int, v: int) -> tuple:
+        """→ (image_path, cam_path) for one view under the scan's layout."""
+        kind, scan_dir = self._layout[scan]
+        if kind == "eval":
+            img = os.path.join(scan_dir, "images", f"{v:08d}.jpg")
+            if not os.path.isfile(img):
+                img = os.path.join(scan_dir, "images", f"{v:08d}.png")
+            cam = os.path.join(scan_dir, "cams", f"{v:08d}_cam.txt")
+        else:
+            img = os.path.join(scan_dir,
+                               f"rect_{v + 1:03d}_{self.light_idx}_r5000.png")
+            cam = os.path.join(self.root, "Cameras", f"{v:08d}_cam.txt")
+        return img, cam
 
     def __len__(self) -> int:
         return len(self.index)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         scan, ref = self.index[idx]
-        views = [ref] + [v for v, _ in self.pair[ref][: self.num_view - 1]]
+        views = [ref] + [v for v, _ in self.pair[scan][ref][: self.num_view - 1]]
         images, cams = [], []
         for v in views:
-            img_path = os.path.join(self._scan_dir(scan), f"rect_{v + 1:03d}_{self.light_idx}_r5000.png")
+            img_path, cam_path = self._view_paths(scan, v)
             images.append(_read_image(img_path).astype(np.float32))
             cams.append(load_cam(
-                os.path.join(self.root, "Cameras", f"{v:08d}_cam.txt"),
+                cam_path,
                 interval_scale=self.interval_scale,
                 num_depth=self.num_virtual_plane,
             ))

@@ -34,52 +34,76 @@ def _texture(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
 def make_synthetic_dtu(root: str, scans: Sequence[int] = (1,), num_views: int = 5,
                        height: int = 128, width: int = 160, depth_min: float = 425.0,
                        depth_interval: float = 2.5, num_depth: int = 48,
-                       num_lights: int = 7, seed: int = 0) -> None:
+                       num_lights: int = 7, seed: int = 0,
+                       layout: str = "train") -> None:
     """Create a DTU-layout tree under ``root``.
 
     Geometry: reference camera 0 at world origin looking +z; view ``v`` is
     translated by a small baseline along x. The scene is two fronto-parallel
     textured half-planes (left/right) at different depths within the
     hypothesis range, so GT depth is piecewise constant and recoverable.
+
+    ``layout="train"`` writes the training release
+    (``Rectified/scan{n}_train`` + shared ``Cameras/``); ``layout="eval"``
+    writes the official eval/testing release
+    (``Eval/scan{n}/{images,cams}/{view:08d}.{jpg,txt}`` + per-scan
+    ``pair.txt``), matching ``DTUTestDataset``'s auto-detection.
     """
     import cv2
 
+    assert layout in ("train", "eval")
     rng = np.random.RandomState(seed)
-    os.makedirs(os.path.join(root, "Cameras"), exist_ok=True)
 
     f = 1.2 * max(height, width)
     K = np.array([[f, 0, width / 2.0], [0, f, height / 2.0], [0, 0, 1]], np.float64)
     baseline = depth_min * 0.012
 
-    # cameras + pair.txt (shared across scans, like DTU's Cameras/ dir)
-    extrinsics = []
+    cams = []
     for v in range(num_views):
         E = np.eye(4)
         E[0, 3] = -v * baseline  # world→cam: camera at x = +v·b
-        extrinsics.append(E)
         cam = np.zeros((2, 4, 4), np.float32)
         cam[0] = E
         cam[1, :3, :3] = K
         cam[1, 3] = [depth_min, depth_interval, num_depth,
                      depth_min + (num_depth - 1) * depth_interval]
-        write_cam(os.path.join(root, "Cameras", f"{v:08d}_cam.txt"), cam)
+        cams.append(cam)
 
-    with open(os.path.join(root, "Cameras", "pair.txt"), "w") as fp:
-        fp.write(f"{num_views}\n")
+    def _write_pair(path: str) -> None:
+        with open(path, "w") as fp:
+            fp.write(f"{num_views}\n")
+            for v in range(num_views):
+                others = sorted(range(num_views), key=lambda u: (abs(u - v), u))
+                others = [u for u in others if u != v]
+                fp.write(f"{v}\n{len(others)} " +
+                         " ".join(f"{u} {100.0 - 10 * i}" for i, u in enumerate(others)) + "\n")
+
+    if layout == "train":
+        # cameras + pair.txt shared across scans, like DTU's Cameras/ dir
+        os.makedirs(os.path.join(root, "Cameras"), exist_ok=True)
         for v in range(num_views):
-            others = sorted(range(num_views), key=lambda u: (abs(u - v), u))
-            others = [u for u in others if u != v]
-            fp.write(f"{v}\n{len(others)} " +
-                     " ".join(f"{u} {100.0 - 10 * i}" for i, u in enumerate(others)) + "\n")
+            write_cam(os.path.join(root, "Cameras", f"{v:08d}_cam.txt"), cams[v])
+        _write_pair(os.path.join(root, "Cameras", "pair.txt"))
 
     d_lo = depth_min + 0.25 * (num_depth - 1) * depth_interval
     d_hi = depth_min + 0.70 * (num_depth - 1) * depth_interval
 
     for scan in scans:
-        img_dir = os.path.join(root, "Rectified", f"scan{scan}_train")
-        dep_dir = os.path.join(root, "Depths", f"scan{scan}_train")
-        os.makedirs(img_dir, exist_ok=True)
-        os.makedirs(dep_dir, exist_ok=True)
+        if layout == "eval":
+            scan_dir = os.path.join(root, "Eval", f"scan{scan}")
+            img_dir = os.path.join(scan_dir, "images")
+            cam_dir = os.path.join(scan_dir, "cams")
+            os.makedirs(img_dir, exist_ok=True)
+            os.makedirs(cam_dir, exist_ok=True)
+            for v in range(num_views):
+                write_cam(os.path.join(cam_dir, f"{v:08d}_cam.txt"), cams[v])
+            _write_pair(os.path.join(scan_dir, "pair.txt"))
+            dep_dir = None
+        else:
+            img_dir = os.path.join(root, "Rectified", f"scan{scan}_train")
+            dep_dir = os.path.join(root, "Depths", f"scan{scan}_train")
+            os.makedirs(img_dir, exist_ok=True)
+            os.makedirs(dep_dir, exist_ok=True)
 
         tex_l = _texture(rng, height, width)
         tex_r = _texture(rng, height, width)
@@ -97,12 +121,18 @@ def make_synthetic_dtu(root: str, scans: Sequence[int] = (1,), num_views: int = 
                 mask[:, x0:x1] = 1
                 wm = cv2.warpAffine(mask, M, (width, height))
                 img[wm > 0] = warped[wm > 0]
-            for light in range(num_lights):
-                gain = 0.75 + 0.08 * light
-                out = np.clip(img.astype(np.float32) * gain, 0, 255).astype(np.uint8)
-                cv2.imwrite(os.path.join(img_dir, f"rect_{v + 1:03d}_{light}_r5000.png"),
-                            cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+            if layout == "eval":
+                cv2.imwrite(os.path.join(img_dir, f"{v:08d}.jpg"),
+                            cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            else:
+                for light in range(num_lights):
+                    gain = 0.75 + 0.08 * light
+                    out = np.clip(img.astype(np.float32) * gain, 0, 255).astype(np.uint8)
+                    cv2.imwrite(os.path.join(img_dir, f"rect_{v + 1:03d}_{light}_r5000.png"),
+                                cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
 
+        if dep_dir is None:
+            continue
         for v in range(num_views):
             depth = np.full((height, width), d_lo, np.float32)
             depth[:, split:] = d_hi

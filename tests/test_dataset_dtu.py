@@ -105,3 +105,50 @@ def test_synthetic_geometry_is_consistent(dtu_root):
                 cnt += 1
     assert cnt > 50
     assert err / cnt < 0.35  # normalized-image units; most pixels must agree
+
+
+@pytest.fixture(scope="module")
+def dtu_eval_root(tmp_path_factory):
+    """Official eval/testing-release layout: Eval/scan{n}/{images,cams} +
+    per-scan pair.txt, jpg images, no shared Cameras/ and no Depths/."""
+    root = tmp_path_factory.mktemp("dtu_eval")
+    make_synthetic_dtu(str(root), scans=[1, 4], num_views=4, height=64,
+                       width=80, layout="eval")
+    return str(root)
+
+
+def test_eval_release_layout(dtu_eval_root):
+    ds = DTUTestDataset(dtu_eval_root, num_view=3, img_height=64,
+                        img_width=80, scans=[1, 4], base=16)
+    assert ds.scans == [1, 4]
+    assert len(ds) == 2 * 4  # per-scan pair.txt: every view is a ref
+    item = ds[0]
+    assert item["images"].shape == (3, 64, 80, 3)
+    assert item["cams"].shape == (3, 2, 4, 4)
+    assert "gt_depth" not in item  # eval release ships no GT depth
+    # cams must round-trip through the per-scan cams/ dir (baseline tx)
+    assert not np.allclose(item["cams"][0, 0], item["cams"][1, 0])
+
+
+def test_eval_release_ignores_missing_scans(dtu_eval_root):
+    ds = DTUTestDataset(dtu_eval_root, num_view=3, img_height=64,
+                        img_width=80, scans=[1, 99], base=16)
+    assert ds.scans == [1]
+
+
+def test_mixed_layouts_one_root(dtu_root, dtu_eval_root, tmp_path_factory):
+    """Train-release and eval-release scans may coexist under one root."""
+    import shutil
+    root = tmp_path_factory.mktemp("dtu_mixed")
+    for d in ("Cameras", "Rectified", "Depths"):
+        shutil.copytree(f"{dtu_root}/{d}", f"{root}/{d}")
+    shutil.copytree(f"{dtu_eval_root}/Eval", f"{root}/Eval")
+    # scan 2 exists only as train-release, scan 4 only as eval-release
+    ds = DTUTestDataset(str(root), num_view=3, img_height=64, img_width=80,
+                        scans=[2, 4], base=16, light_idx=1)
+    assert ds.scans == [2, 4]
+    kinds = {s: ds._layout[s][0] for s in ds.scans}
+    assert kinds == {2: "train", 4: "eval"}
+    items = [ds[i] for i in (0, len(ds) - 1)]
+    for item in items:
+        assert item["images"].shape == (3, 64, 80, 3)
