@@ -65,8 +65,11 @@ def torch_deconv_to_flax(w: np.ndarray) -> np.ndarray:
 
 def torch_linear_to_flax(w: np.ndarray) -> np.ndarray:
     """(O, I) → (I, O). Also used for 1×1 convs collapsed to Dense:
-    (O, I, 1, 1)/(O, I, 1) squeeze to (O, I) first."""
-    w = np.squeeze(w)
+    (O, I, 1, 1)/(O, I, 1) drop the trailing spatial 1-dims first (a full
+    squeeze would also collapse a 1-wide out-channel dim, e.g. the flow
+    head's final (1, C, 1) Conv1d)."""
+    while w.ndim > 2 and w.shape[-1] == 1:
+        w = w[..., 0]
     if w.ndim != 2:
         raise ValueError(f"not a linear kernel: shape {w.shape}")
     return np.ascontiguousarray(w.T)
@@ -113,6 +116,11 @@ def _convert_leaf(path: Tuple[str, ...], torch_w: np.ndarray,
             w = torch_linear_to_flax(torch_w)
         elif torch_w.ndim >= 4:
             w = torch_conv_to_flax(torch_w)
+            if (tuple(w.shape) != tuple(target_shape)
+                    and np.squeeze(torch_w).ndim == 2):
+                # 1×1 conv folded into a matmul param (EdgeConv's split
+                # kernel keeps the reference's (2C, F) layout)
+                w = torch_linear_to_flax(torch_w)
         else:
             w = torch_linear_to_flax(torch_w)
     elif leaf in ("bias", "scale", "mean", "var"):
