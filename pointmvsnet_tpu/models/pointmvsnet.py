@@ -41,7 +41,7 @@ from pointmvsnet_tpu.ops.geometry import (
     pixel_grid,
     unproject_pixels,
 )
-from pointmvsnet_tpu.ops.knn import window_knn_auto
+from pointmvsnet_tpu.ops.knn import window_knn_auto, window_knn_mask_auto
 from pointmvsnet_tpu.ops.sampling import fetch_features
 
 
@@ -108,15 +108,25 @@ class PointFlowCore(nn.Module):
         # --- kNN graph over the structured hypothesis grid ----------------
         # stop_gradient on the INPUT: indices are non-differentiable and the
         # Pallas kernel has no JVP rule — don't let tangents reach it
-        idx = window_knn_auto(jax.lax.stop_gradient(x).astype(jnp.float32),
-                              (g, h, w), self.k, self.window,
-                              impl=self.knn_impl)
+        pts32 = jax.lax.stop_gradient(x).astype(jnp.float32)
+        # eval + BatchNorm/none: also take the window-selection bitmask so
+        # EdgeConv can use the masked-window-max fast path (no row gathers)
+        fast = not train and self.norm in ("bn", "none")
+        if fast:
+            idx, mask = window_knn_mask_auto(pts32, (g, h, w), self.k,
+                                             self.window, impl=self.knn_impl)
+        else:
+            idx = window_knn_auto(pts32, (g, h, w), self.k, self.window,
+                                  impl=self.knn_impl)
+            mask = None
 
         # --- EdgeConv stack + flow head -----------------------------------
         edge_outs = []
         y = point_feat
         for c in self.edge_channels:
-            y = EdgeConv(c, norm=self.norm, dtype=self.dtype)(y, idx, train)
+            y = EdgeConv(c, norm=self.norm, dtype=self.dtype)(
+                y, idx, train, mask=mask, grid_shape=(g, h, w),
+                window=self.window, impl=self.knn_impl)
             edge_outs.append(y)
         cat = jnp.concatenate(edge_outs, axis=-1)
         logits = SharedMLP(self.flow_channels, norm=self.norm,
@@ -132,14 +142,15 @@ class PointFlow(nn.Module):
     the reference's single flow module applied iteratively).
 
     ``chunk_rows``: when > 0 and the map is taller, the depth map is
-    processed in row bands of that height with a ``window//2``-row halo,
-    bounding peak memory so the 640×512 full-resolution test iteration
-    fits one chip (the reference's O(N²) memory wall, SURVEY.md §5).
+    processed in row bands of that height with an 8-row halo, bounding
+    peak memory so the 640×512 full-resolution test iteration fits one
+    chip (the reference's O(N²) memory wall, SURVEY.md §5).
     Exactness: bit-identical to the unchunked pass with BatchNorm in eval
-    mode (running stats; the kNN window never reaches past the halo);
-    with GroupNorm (whose statistics reduce over the point axis) band
-    boundaries perturb results by ~1e-2 depth units — chunking is an
-    eval-memory feature, leave it 0 for GN training parity."""
+    mode (the halo covers the ±6-row receptive field of the three stacked
+    EdgeConvs plus the kNN window); with GroupNorm (whose statistics
+    reduce over the point axis) band boundaries perturb results by
+    ~1e-2 depth units — chunking is an eval-memory feature, leave it 0
+    for GN training parity."""
 
     edge_channels: Sequence[int] = (32, 32, 64)
     flow_channels: Sequence[int] = (64, 64, 16, 1)
@@ -167,16 +178,18 @@ class PointFlow(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         b, h, w = cur_depth.shape
         cr = self.chunk_rows
-        if cr <= 0 or h <= cr:
+        if cr <= 0 or h <= cr + 16:  # too short to band (bs = cr + 2·halo)
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,
                              0, train)
         assert h % cr == 0 and cr % 8 == 0, (
             f"FLOW_CHUNK_ROWS={cr} must divide the flow height {h} and be a "
             f"multiple of 8")
-        # fixed-size 8-aligned bands: halo 4 ≥ window//2 keeps the kNN window
-        # inside the band, (cr + 8) % 8 == 0 keeps the Pallas kernel eligible,
-        # and a clamped window makes every band the SAME shape (one compile).
-        halo = 4
+        # fixed-size 8-aligned bands: halo 8 ≥ 3·(window//2) covers the full
+        # receptive field of the THREE stacked EdgeConvs (±2 rows each), so
+        # banded == unbanded exactly under eval BatchNorm; (cr + 16) % 8 == 0
+        # keeps the Pallas kernels eligible, and a clamped window makes every
+        # band the SAME shape (one compile).
+        halo = 8
         bs = cr + 2 * halo
         bands = []
         for y0 in range(0, h, cr):

@@ -46,14 +46,17 @@ def gather_knn(features: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
 
 
 def window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int], k: int,
-               window: int = 5) -> jnp.ndarray:
+               window: int = 5, with_mask: bool = False) -> jnp.ndarray:
     """Windowed 3D kNN over a structured hypothesis grid.
 
     points: (B, P, 3) with P = G·H·W, ordered g-major then row-major pixels
             (g, y, x) — the layout PointFlow produces.
     grid_shape: (G, H, W); ``window``: odd spatial extent (candidates =
     hypotheses of the win×win pixel neighborhood, all G levels).
-    → indices (B, P, k) into the flattened P axis, nearest-first.
+    → indices (B, P, k) into the flattened P axis, nearest-first. With
+    ``with_mask``, also the (B, NW, G, H, W) uint32 selection bitplanes
+    (bit s = candidate gc·win² + dy·win + dx chosen) consumed by the fused
+    EdgeConv path (``ops/pallas/edge.py``).
 
     Corner pixels still have G·⌈win/2⌉² ≥ k valid candidates for the default
     (G=5, win=5, k=16). Invalid (padded) candidates get +inf distance.
@@ -96,7 +99,23 @@ def window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int], k: int,
     flat_nn = jnp.take_along_axis(
         jnp.broadcast_to(cand_idx.transpose(1, 2, 0)[None, None], (b, g, h, w, c)),
         nn, axis=-1)
-    return flat_nn.reshape(b, g * h * w, k)
+    idx = flat_nn.reshape(b, g * h * w, k)
+    if not with_mask:
+        return idx
+    # nn holds candidate ids in (gg, dy, dx) stack order = the shift id s;
+    # OR k one-bit words together per uint32 plane
+    import functools as _ft
+    nw = -(-c // 32)
+    planes = []
+    for wi in range(nw):
+        bits = jnp.where(nn // 32 == wi,
+                         jnp.left_shift(jnp.uint32(1),
+                                        (nn % 32).astype(jnp.uint32)),
+                         jnp.uint32(0))
+        planes.append(_ft.reduce(jnp.bitwise_or,
+                                 [bits[..., i] for i in range(k)]))
+    mask = jnp.stack(planes, axis=1)                         # (B, NW, G, H, W)
+    return idx, mask
 
 
 def blockwise_knn(queries: jnp.ndarray, keys: jnp.ndarray, k: int,
@@ -134,17 +153,31 @@ def blockwise_knn(queries: jnp.ndarray, keys: jnp.ndarray, k: int,
     return best_i
 
 
+def _use_pallas(impl: str, h: int) -> bool:
+    return impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu" and h % 8 == 0)
+
+
 def window_knn_auto(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
                     k: int, window: int = 5, impl: str = "auto") -> jnp.ndarray:
     """Dispatch between the XLA reference and the Pallas TPU kernel
     (``MODEL.KNN_IMPL``): "auto" → Pallas on TPU when the grid qualifies."""
-    g, h, w = grid_shape
-    use_pallas = impl == "pallas" or (
-        impl == "auto" and jax.default_backend() == "tpu" and h % 8 == 0)
-    if use_pallas:
+    if _use_pallas(impl, grid_shape[1]):
         from pointmvsnet_tpu.ops.pallas.knn import pallas_window_knn
         return pallas_window_knn(points, grid_shape, k, window)
     return window_knn(points, grid_shape, k, window)
+
+
+def window_knn_mask_auto(points: jnp.ndarray,
+                         grid_shape: Tuple[int, int, int],
+                         k: int, window: int = 5, impl: str = "auto"):
+    """``window_knn_auto`` + the window-selection bitmask → (idx, mask).
+    The Pallas kernel emits the mask for free during top-k; the XLA path
+    derives it from the candidate ids."""
+    if _use_pallas(impl, grid_shape[1]):
+        from pointmvsnet_tpu.ops.pallas.knn import pallas_window_knn_mask
+        return pallas_window_knn_mask(points, grid_shape, k, window)
+    return window_knn(points, grid_shape, k, window, with_mask=True)
 
 
 def knn_indices_bruteforce(points: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -36,13 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e38  # beyond any real squared distance incl. sentinel padding
 
 
-def _kernel(shifts_ref, out_ref, dist, *, g: int, k: int, window: int,
-            th: int, h: int, w: int, w_pad: int):
+def _kernel(shifts_ref, out_ref, mask_ref, dist, *, g: int, k: int,
+            window: int, th: int, h: int, w: int, w_pad: int):
     i = pl.program_id(1)
     nsh = window * window
     r = window // 2
     center = r * window + r
     ncand = g * nsh
+    nw = -(-ncand // 32)  # uint32 words per selection bitmask
 
     cand_iota = jax.lax.broadcasted_iota(jnp.int32, (ncand, th, w_pad), 0)
     ty = jax.lax.broadcasted_iota(jnp.int32, (th, w_pad), 0)
@@ -68,8 +69,11 @@ def _kernel(shifts_ref, out_ref, dist, *, g: int, k: int, window: int,
 
         jax.lax.fori_loop(0, ncand, dist_body, 0)
 
-        # iterative top-k: k rounds of (min, first-argmin, mask-out)
-        def topk_body(rnd, d_all):
+        # iterative top-k: k rounds of (min, first-argmin, mask-out); the
+        # selected candidate ids double as bits of the window-selection
+        # mask consumed by the fused EdgeConv kernel (ops/pallas/edge.py)
+        def topk_body(rnd, carry):
+            d_all, masks = carry
             dmin = jnp.min(d_all, axis=0)             # (TH, W_pad)
             hitidx = jnp.where(d_all <= dmin[None], cand_iota, ncand)
             am = jnp.min(hitidx, axis=0)              # first argmin, int32
@@ -81,9 +85,17 @@ def _kernel(shifts_ref, out_ref, dist, *, g: int, k: int, window: int,
             yc = y_abs + dy - r
             xc = tx + dx - r
             out_ref[0, rnd, gq] = gc * (h * w) + yc * w + xc
-            return jnp.where(cand_iota == am[None], _BIG, d_all)
+            bit = jnp.left_shift(jnp.uint32(1), (am % 32).astype(jnp.uint32))
+            word = am // 32
+            masks = jnp.stack([jnp.where(word == wi, masks[wi] | bit, masks[wi])
+                               for wi in range(nw)])
+            return jnp.where(cand_iota == am[None], _BIG, d_all), masks
 
-        jax.lax.fori_loop(0, k, topk_body, dist[0:ncand])
+        init_masks = jnp.zeros((nw, th, w_pad), jnp.uint32)
+        _, masks = jax.lax.fori_loop(0, k, topk_body,
+                                     (dist[0:ncand], init_masks))
+        for wi in range(nw):
+            mask_ref[0, wi, gq] = masks[wi]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -94,27 +106,28 @@ _VMEM_BUDGET = 13 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
 
 
 def _vmem_need(g: int, nsh: int, w_pad: int, tile_h: int) -> int:
-    """input block (nsh·3·g) + dist scratch (g · g·nsh) + out block bytes."""
+    """input block (nsh·3·g) + dist scratch (g · g·nsh) + idx/mask out
+    block bytes (k=16 planes + ⌈g·nsh/32⌉ uint32 mask planes)."""
+    nw = -(-(g * nsh) // 32)
     return ((nsh * 3 * g + g * g * nsh) * w_pad * tile_h * 4
-            + 16 * g * tile_h * w_pad * 4)
+            + (16 + nw) * g * tile_h * w_pad * 4)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_shape", "k", "window",
-                                             "tile_h", "interpret"))
-def pallas_window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
-                      k: int = 16, window: int = 5, tile_h: int = 0,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for ``ops.knn.window_knn``: points (B, P, 3) g-major →
-    indices (B, P, k) nearest-first. Needs H % 8 == 0 (flow grids are).
-
-    Wide grids whose minimal (8-row) tile would blow the VMEM budget are
-    split into column segments with a ``window//2`` halo, each run through
-    the kernel independently, with local flat indices remapped to the full
-    grid — exact, like the row banding."""
+                                             "tile_h", "interpret",
+                                             "with_mask"))
+def _window_knn_impl(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
+                     k: int = 16, window: int = 5, tile_h: int = 0,
+                     interpret: bool = False, with_mask: bool = False):
+    """Shared implementation: → idx (B, P, k) or (idx, mask) where mask is
+    (B, NW, G, H, W) uint32 window-selection bitplanes (bit s of point
+    (g, y, x) set iff window candidate s = gc·win² + dy·win + dx was chosen;
+    consumed by ``ops/pallas/edge.py :: masked_window_max``)."""
     g, h, w = grid_shape
     b = points.shape[0]
     r = window // 2
     nsh = window * window
+    nw = -(-(g * nsh) // 32)
     assert window % 2 == 1
     assert points.shape[1] == g * h * w
     # Same corner-candidate sufficiency bound the XLA path enforces
@@ -134,6 +147,7 @@ def pallas_window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
             nseg += 1
         pts_grid = points.reshape(b, g, h, w, 3)
         outs = []
+        mask_outs = []
         for s in range(nseg):
             x0 = s * ws
             x1 = min(w, x0 + ws)
@@ -141,17 +155,25 @@ def pallas_window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
             hi = min(w, x1 + r)
             wseg = hi - lo
             seg = pts_grid[:, :, :, lo:hi].reshape(b, g * h * wseg, 3)
-            idx = pallas_window_knn(seg, (g, h, wseg), k, window, tile_h,
-                                    interpret)
+            res = _window_knn_impl(seg, (g, h, wseg), k, window, tile_h,
+                                   interpret, with_mask)
+            idx = res[0] if with_mask else res
             idx = idx.reshape(b, g, h, wseg, k)
             gq = idx // (h * wseg)
             rem = idx - gq * (h * wseg)
             y = rem // wseg
             x = rem - y * wseg
             gidx = gq * (h * w) + y * w + (x + lo)
-            outs.append(gidx[:, :, :, x0 - lo: x0 - lo + (x1 - x0)])
-        out = jnp.concatenate(outs, axis=3)
-        return out.reshape(b, g * h * w, k)
+            keep = slice(x0 - lo, x0 - lo + (x1 - x0))
+            outs.append(gidx[:, :, :, keep])
+            if with_mask:
+                # selection bits are window-relative → translation-invariant
+                # across column segments; just crop the kept columns
+                mask_outs.append(res[1][..., keep])
+        out = jnp.concatenate(outs, axis=3).reshape(b, g * h * w, k)
+        if with_mask:
+            return out, jnp.concatenate(mask_outs, axis=-1)
+        return out
 
     if tile_h == 0:
         assert h % 8 == 0, f"pallas_window_knn needs H % 8 == 0, got {h}"
@@ -170,22 +192,52 @@ def pallas_window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
                         for dy in range(window) for dx in range(window)],
                        axis=1)
 
-    out = pl.pallas_call(
+    out, mask = pl.pallas_call(
         functools.partial(_kernel, g=g, k=k, window=window, th=tile_h,
                           h=h, w=w, w_pad=w_pad),
         grid=(b, h // tile_h),
         in_specs=[pl.BlockSpec((1, nsh, 3, g, tile_h, w_pad),
                                lambda bi, i: (bi, 0, 0, 0, i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, k, g, tile_h, w_pad),
-                               lambda bi, i: (bi, 0, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k, g, h, w_pad), jnp.int32),
+        out_specs=(pl.BlockSpec((1, k, g, tile_h, w_pad),
+                                lambda bi, i: (bi, 0, 0, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, nw, g, tile_h, w_pad),
+                                lambda bi, i: (bi, 0, 0, i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, k, g, h, w_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((b, nw, g, h, w_pad), jnp.uint32)),
         scratch_shapes=[
             pltpu.VMEM((g * nsh, tile_h, w_pad), jnp.float32),
         ],
         interpret=interpret,
     )(shifts)
     # (B, K, G, H, W_pad) → crop → (B, G·H·W, K)
-    out = out[..., :w].reshape(b, k, g * h * w)
-    return out.transpose(0, 2, 1)
+    out = out[..., :w].reshape(b, k, g * h * w).transpose(0, 2, 1)
+    if with_mask:
+        return out, mask[..., :w]
+    return out
+
+
+def pallas_window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
+                      k: int = 16, window: int = 5, tile_h: int = 0,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ``ops.knn.window_knn``: points (B, P, 3) g-major →
+    indices (B, P, k) nearest-first. Needs H % 8 == 0 (flow grids are).
+
+    Wide grids whose minimal (8-row) tile would blow the VMEM budget are
+    split into column segments with a ``window//2`` halo, each run through
+    the kernel independently, with local flat indices remapped to the full
+    grid — exact, like the row banding."""
+    return _window_knn_impl(points, grid_shape, k, window, tile_h, interpret,
+                            with_mask=False)
+
+
+def pallas_window_knn_mask(points: jnp.ndarray,
+                           grid_shape: Tuple[int, int, int],
+                           k: int = 16, window: int = 5, tile_h: int = 0,
+                           interpret: bool = False):
+    """Like ``pallas_window_knn`` but also returns the window-selection
+    bitmask (B, NW, G, H, W) uint32 for the fused EdgeConv kernel."""
+    return _window_knn_impl(points, grid_shape, k, window, tile_h, interpret,
+                            with_mask=True)
