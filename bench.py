@@ -1,15 +1,24 @@
-"""Benchmark: DTU-shaped full-pipeline inference throughput on one chip.
+"""Benchmark: DTU paper-eval full-pipeline inference throughput on one chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "depth_maps/sec/chip", "vs_baseline": N}
 
-Baseline (BASELINE.md): the PyTorch reference runs the full pipeline in
-~3 s per reference view on a 1080Ti-class GPU → 0.33 maps/sec. The
-BASELINE.json target is ≥5× per-chip (≥1.67 maps/sec) on TPU v5e.
+Headline config — the reference's DTU evaluation setting (SURVEY.md §2.17,
+``configs/dtu_wde3.yaml`` TEST section): 640×512 input, 5 views, D=96
+coarse hypotheses, coarse + 3 PointFlow iterations at TEST scales
+(0.25, 0.5, 1.0) → full-resolution 640×512 output, BatchNorm (the
+reference's default norm), bf16 compute, 128-row flow banding.
 
-Config benched: paper eval shape — 640×512 input, 3 views, D=48 coarse
-hypotheses, coarse + 2 PointFlow iterations (scales 0.25/0.5). Runs on the
-real TPU via the axon tunnel (does NOT force the CPU backend).
+Baseline provenance (``vs_baseline``): the Point-MVSNet paper's efficiency
+section reports ~3 s per reference view for the full eval pipeline on a
+consumer GPU (1080Ti class; BASELINE.md marks the exact value TBD-verify —
+the reference mount is empty). BASELINE.json's target is ≥5× per chip vs a
+V100; a V100 is roughly 1.3–1.5× a 1080Ti on this workload, so beating 5×
+against 1/3 maps/s by a wide margin covers the V100 uncertainty band.
+Secondary configs + per-stage latencies land in BENCH_DETAILS.json when
+BENCH_DETAILS=1.
+
+Runs on the real TPU via the axon tunnel (does NOT force the CPU backend).
 """
 
 from __future__ import annotations
@@ -21,7 +30,10 @@ import time
 
 import numpy as np
 
-BASELINE_MAPS_PER_SEC = 1.0 / 3.0
+BASELINE_MAPS_PER_SEC = 1.0 / 3.0  # paper-derived (~3 s/view, 1080Ti class)
+BASELINE_SOURCE = ("Point-MVSNet paper efficiency section: ~3 s/view full "
+                   "pipeline on 1080Ti-class GPU (TBD-verify; mount empty). "
+                   "BASELINE.json target: >=5x vs V100.")
 
 
 def make_inputs(b, v, h, w, d):
@@ -38,63 +50,78 @@ def make_inputs(b, v, h, w, d):
     return images, jnp.asarray(cams)
 
 
+def build(norm="bn", dtype="bfloat16", chunk_rows=128):
+    from pointmvsnet_tpu.config import get_default_cfg
+    from pointmvsnet_tpu.models import build_model
+    cfg = get_default_cfg()
+    cfg.MODEL.NORM = norm
+    cfg.MODEL.DTYPE = dtype
+    cfg.MODEL.FLOW_CHUNK_ROWS = chunk_rows
+    model, _, _ = build_model(cfg)
+    return cfg, model
+
+
+def measure(model, variables, images, cams, kwargs, iters=15):
+    """Sustained maps/s: enqueue the stream, force a scalar from EVERY
+    output (np materialization — block_until_ready is unreliable through
+    the axon tunnel), so each execution really ran while device-side
+    queuing overlaps dispatch (the eval engine processes scans this way)."""
+    import jax
+    fwd = jax.jit(lambda var, im, cm: model.apply(var, im, cm, **kwargs))
+    out = fwd(variables, images, cams)
+    key = sorted(k for k in out if k.startswith("flow"))[-1] if any(
+        k.startswith("flow") for k in out) else "coarse_depth_map"
+    np.asarray(out[key])
+    t0 = time.perf_counter()
+    outs = [fwd(variables, images, cams) for _ in range(iters)]
+    checksum = sum(float(o[key][0, 0, 0]) for o in outs)
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(checksum)
+    return images.shape[0] / dt, dt
+
+
 def main():
     import jax
 
     from pointmvsnet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from pointmvsnet_tpu.config import get_default_cfg
-    from pointmvsnet_tpu.models import build_model
+    cfg, model = build()
+    img_scales = tuple(cfg.MODEL.TEST.IMG_SCALES)      # (0.25, 0.5, 1.0)
+    inter_scales = tuple(cfg.MODEL.TEST.INTER_SCALES)
 
-    cfg = get_default_cfg()
-    cfg.MODEL.NORM = "gn"
-    cfg.MODEL.DTYPE = "bfloat16"
-    model, _, _ = build_model(cfg)
-
-    b, v, h, w, d = 1, 3, 512, 640, 48
-    img_scales, inter_scales = (0.25, 0.5), (0.75, 0.375)
-    images, cams = make_inputs(b, v, h, w, d)
-    kwargs = dict(is_flow=True, img_scales=img_scales,
-                  inter_scales=inter_scales, num_virtual_plane=d)
-
-    variables = model.init(jax.random.PRNGKey(0), *make_inputs(b, v, 64, 64, 8),
+    variables = model.init(jax.random.PRNGKey(0), *make_inputs(1, 2, 64, 64, 8),
                            is_flow=True, img_scales=(0.25,),
                            inter_scales=(0.75,), num_virtual_plane=8)
 
-    fwd = jax.jit(lambda var, im, cm: model.apply(var, im, cm, **kwargs))
+    # headline: paper-eval config (V=5, D=96, full-res output)
+    b, v, h, w, d = 1, 5, 512, 640, 96
+    images, cams = make_inputs(b, v, h, w, d)
+    kwargs = dict(is_flow=True, img_scales=img_scales,
+                  inter_scales=inter_scales, num_virtual_plane=d)
+    maps_per_sec, latency = measure(model, variables, images, cams, kwargs)
 
-    # compile + warmup (np.asarray forces real materialization — plain
-    # block_until_ready has proven unreliable through the axon tunnel)
-    out = fwd(variables, images, cams)
-    np.asarray(out["flow2"])
-
-    # sustained throughput: enqueue the whole batch stream, then force a
-    # scalar out of EVERY output — each execution must really have run,
-    # while device-side queuing overlaps dispatch (the eval engine
-    # processes scans exactly this way)
-    iters = 20
-    t0 = time.perf_counter()
-    outs = [fwd(variables, images, cams) for _ in range(iters)]
-    checksum = sum(float(o["flow2"][0, 0, 0]) for o in outs)
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(checksum)
-
-    maps_per_sec = b / dt
-
-    # optional detail file (north-star PointFlow iteration latency)
     if os.environ.get("BENCH_DETAILS"):
+        details = {"headline_latency_s": latency,
+                   "baseline_source": BASELINE_SOURCE}
+        # north-star stage decomposition at the headline config
         from pointmvsnet_tpu.utils.profiler import stage_latencies
-        stages = stage_latencies(model, variables, images, cams,
-                                 img_scales, inter_scales, d)
+        details["stages_s"] = stage_latencies(
+            model, variables, images, cams, img_scales, inter_scales, d)
+        # secondary: the train-shape config (V=3, D=48) at full-res output
+        im3, cm3 = make_inputs(1, 3, h, w, 48)
+        kw3 = dict(kwargs, num_virtual_plane=48)
+        mps3, lat3 = measure(model, variables, im3, cm3, kw3)
+        details["V3_D48_fullres"] = {"maps_per_sec": mps3, "latency_s": lat3}
         with open("BENCH_DETAILS.json", "w") as f:
-            json.dump({"stages_s": stages, "latency_s": dt}, f, indent=1)
+            json.dump(details, f, indent=1)
 
     print(json.dumps({
-        "metric": "dtu_depth_maps_per_sec_per_chip_640x512_V3_D48_2flow",
+        "metric": "dtu_eval_depth_maps_per_sec_per_chip_640x512_V5_D96_3flow",
         "value": round(maps_per_sec, 4),
         "unit": "depth_maps/sec/chip",
         "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC, 3),
+        "baseline_source": "paper ~3s/view (1080Ti class); see BASELINE.md",
     }))
 
 
@@ -103,7 +130,7 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # never leave the driver without a JSON line
         print(json.dumps({
-            "metric": "dtu_depth_maps_per_sec_per_chip_640x512_V3_D48_2flow",
+            "metric": "dtu_eval_depth_maps_per_sec_per_chip_640x512_V5_D96_3flow",
             "value": 0.0,
             "unit": "depth_maps/sec/chip",
             "vs_baseline": 0.0,

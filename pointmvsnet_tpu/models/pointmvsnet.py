@@ -42,7 +42,7 @@ from pointmvsnet_tpu.ops.geometry import (
     unproject_pixels,
 )
 from pointmvsnet_tpu.ops.knn import window_knn_auto, window_knn_mask_auto
-from pointmvsnet_tpu.ops.sampling import fetch_features
+from pointmvsnet_tpu.ops.sampling import fetch_features, regular_grid_sample
 
 
 def scale_cams(cams: jnp.ndarray, sx: float, sy: float) -> jnp.ndarray:
@@ -77,12 +77,15 @@ class PointFlowCore(nn.Module):
     @nn.compact
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
                  ref_cam: jnp.ndarray, cur_depth: jnp.ndarray, step: jnp.ndarray,
-                 y_offset: int = 0, train: bool = False) -> jnp.ndarray:
+                 y_offset: int = 0, full_h: int = 0,
+                 train: bool = False) -> jnp.ndarray:
         """cur_depth (B, h, w) is rows [y_offset, y_offset+h) of the full
-        flow-resolution depth map; returns the refined band."""
+        flow-resolution depth map (height ``full_h``, defaulting to h);
+        returns the refined band."""
         b, h, w = cur_depth.shape
         g = 2 * self.m + 1
         n = h * w
+        full_h = full_h or h
 
         # --- hypothesis points along the ref viewing ray ------------------
         offsets = (jnp.arange(g, dtype=cur_depth.dtype) - self.m)  # (G,)
@@ -97,12 +100,25 @@ class PointFlowCore(nn.Module):
         x = pts.reshape(b, g * n, 3)
 
         # --- multi-scale multi-view point features (variance over views) --
+        # Reference-view shortcut: view 0's projection of the hypothesis
+        # points is the (scaled) pixel grid for every hypothesis depth, so
+        # its fetch is one dense regular-grid resample shared across the G
+        # hypotheses (masked where the hypothesis depth is non-positive,
+        # matching the z>0 gate of the projective path) — only the V−1
+        # source views pay for point gathers.
+        nv = levels[0].shape[1]
+        ref_valid = (hyp_depth > 0).reshape(b, g, n)[..., None]       # (B,G,N,1)
         feats = []
         for fmap, cams_l in zip(levels, cams_levels):
-            sampled = fetch_features(fmap, x, cams_l)                 # (B, V, G·N, C)
-            mean = jnp.mean(sampled, axis=1)
-            var = jnp.mean(jnp.square(sampled), axis=1) - jnp.square(mean)
-            feats.append(var)
+            rh, rw = fmap.shape[2], fmap.shape[3]
+            ref_s = regular_grid_sample(fmap[:, 0], rw / w, rh / full_h,
+                                        h, w, y_offset)               # (B, N, C)
+            ref_s = jnp.where(ref_valid, ref_s[:, None], 0.0)         # (B,G,N,C)
+            ref_s = ref_s.reshape(b, g * n, -1)
+            src = fetch_features(fmap[:, 1:], x, cams_l[:, 1:])       # (B,V-1,G·N,C)
+            mean = (ref_s + jnp.sum(src, axis=1)) / nv
+            sq_mean = (jnp.square(ref_s) + jnp.sum(jnp.square(src), axis=1)) / nv
+            feats.append(sq_mean - jnp.square(mean))
         point_feat = jnp.concatenate(feats, axis=-1)                  # (B, G·N, ΣC)
 
         # --- kNN graph over the structured hypothesis grid ----------------
@@ -168,7 +184,7 @@ class PointFlow(nn.Module):
         if self.remat:
             # trade FLOPs for memory: recompute the flow activations in the
             # backward pass (MODEL.REMAT; useful for large train batches)
-            core_cls = nn.remat(PointFlowCore, static_argnums=(6, 7))
+            core_cls = nn.remat(PointFlowCore, static_argnums=(6, 7, 8))
         self.core = core_cls(self.edge_channels, self.flow_channels,
                              self.m, self.k, self.window, self.norm,
                              self.dtype, self.knn_impl)
@@ -180,7 +196,7 @@ class PointFlow(nn.Module):
         cr = self.chunk_rows
         if cr <= 0 or h <= cr + 16:  # too short to band (bs = cr + 2·halo)
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,
-                             0, train)
+                             0, h, train)
         assert h % cr == 0 and cr % 8 == 0, (
             f"FLOW_CHUNK_ROWS={cr} must divide the flow height {h} and be a "
             f"multiple of 8")
@@ -195,7 +211,7 @@ class PointFlow(nn.Module):
         for y0 in range(0, h, cr):
             lo = min(max(0, y0 - halo), h - bs)
             band = self.core(levels, cams_levels, ref_cam,
-                             cur_depth[:, lo:lo + bs], step, lo, train)
+                             cur_depth[:, lo:lo + bs], step, lo, h, train)
             bands.append(band[:, y0 - lo: y0 - lo + cr])
         return jnp.concatenate(bands, axis=1)
 

@@ -51,9 +51,17 @@ def plane_sweep_volume(feats: jnp.ndarray, cams: jnp.ndarray,
                            ref_extr[:, None], ref_intr[:, None])
     pts = pts.reshape(b, d * h * w, 3)
 
-    sampled = fetch_features(feats, pts, cams)  # (B, V, D·h·w, C)
-    mean = jnp.mean(sampled, axis=1)
-    sq_mean = jnp.mean(jnp.square(sampled), axis=1)
+    # Reference-view shortcut: projecting the ref-pixel rays back into the
+    # reference camera lands exactly on the pixel grid for every hypothesis
+    # depth — view 0 contributes its feature map directly (masked where the
+    # hypothesis depth is non-positive, the projective path's z>0 gate);
+    # only the V−1 source views need the warped gather.
+    ref_f = feats[:, 0].astype(jnp.float32).reshape(b, 1, h * w, c)
+    ref_f = jnp.where((depths > 0)[..., None, None], ref_f, 0.0)
+    ref_f = ref_f.reshape(b, d * h * w, c)
+    src = fetch_features(feats[:, 1:], pts, cams[:, 1:])  # (B, V−1, D·h·w, C)
+    mean = (ref_f + jnp.sum(src, axis=1)) / v
+    sq_mean = (jnp.square(ref_f) + jnp.sum(jnp.square(src), axis=1)) / v
     var = sq_mean - jnp.square(mean)
     return var.reshape(b, d, h, w, c)
 

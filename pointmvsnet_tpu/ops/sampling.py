@@ -87,6 +87,41 @@ def bilinear_sample(feat: jnp.ndarray, uv: jnp.ndarray,
     return out
 
 
+def regular_grid_sample(feat: jnp.ndarray, sx: float, sy: float,
+                        out_h: int, out_w: int,
+                        y_offset: int = 0) -> jnp.ndarray:
+    """Bilinear-sample ``feat`` (B, H, W, C) at the regular grid
+    u = j·sx, v = (y_offset + i)·sy — the reference-view case of the
+    point-feature fetch, where projecting the hypothesis points back into
+    the camera that generated them lands exactly on the (scaled) pixel
+    grid for every hypothesis depth.
+
+    Same semantics as ``bilinear_sample`` (align_corners pixel centers,
+    zero contribution from out-of-image taps), but computed as two small
+    interpolation matmuls (separable along W then H) — MXU work instead of
+    G·N latency-bound gathers. → (B, out_h·out_w, C) float32.
+    """
+    b, h, w, c = feat.shape
+
+    def interp_matrix(n_out, scale, offset, n_in):
+        t = (jnp.arange(n_out, dtype=jnp.float32) + offset) * scale
+        t0 = jnp.floor(t)
+        dt = (t - t0)[:, None]
+        i0 = t0.astype(jnp.int32)[:, None]
+        cols = jnp.arange(n_in, dtype=jnp.int32)[None, :]
+        m = (jnp.where((cols == i0) & (i0 >= 0) & (i0 <= n_in - 1), 1.0 - dt, 0.0)
+             + jnp.where((cols == i0 + 1) & (i0 + 1 >= 0) & (i0 + 1 <= n_in - 1),
+                         dt, 0.0))
+        return m                                      # (n_out, n_in)
+
+    mx = interp_matrix(out_w, sx, 0, w)
+    my = interp_matrix(out_h, sy, y_offset, h)
+    # f32 throughout to match the gather path's f32 lerp weights
+    y = jnp.einsum("bhwc,ow->bhoc", feat.astype(jnp.float32), mx)
+    y = jnp.einsum("bhoc,ph->bpoc", y, my)
+    return y.reshape(b, out_h * out_w, c)
+
+
 def fetch_features(feats: jnp.ndarray, points: jnp.ndarray,
                    cams: jnp.ndarray) -> jnp.ndarray:
     """Multi-view point-feature fetch (the FeatureFetcher).

@@ -38,10 +38,20 @@ class Checkpointer:
     def load(self, template: Any, resume: bool = True,
              path: str = "") -> Tuple[Any, int]:
         """→ (state, next_epoch). ``path`` (reference ``TEST.WEIGHT``)
-        overrides auto-resume; its leaf dir must be an orbax step dir."""
+        overrides auto-resume; it may point at the manager root (latest
+        step is picked), a step dir, or the item dir itself."""
         if path:
+            path = os.path.abspath(path)
+            # manager root → newest integer step dir
+            steps = sorted(int(d) for d in os.listdir(path)
+                           if d.isdigit()) if os.path.isdir(path) else []
+            if steps:
+                path = os.path.join(path, str(steps[-1]))
+            # CheckpointManager step dirs nest the pytree under "default"
+            if os.path.isdir(os.path.join(path, "default")):
+                path = os.path.join(path, "default")
             restored = ocp.StandardCheckpointer().restore(
-                os.path.abspath(path), target=template)
+                path, target=template)
             return restored, 0
         if resume:
             last = self.latest_epoch()

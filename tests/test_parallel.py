@@ -51,8 +51,10 @@ def make_batch(rng):
             "gt_depth": jnp.asarray(gt)}
 
 
-def _run_steps(mesh, batch, n_steps=2):
+def _run_steps(mesh, batch, n_steps=2, norm=None):
     cfg = tiny_cfg()
+    if norm is not None:
+        cfg.MODEL.NORM = norm
     model, loss_fn, metric_fn = build_model(cfg)
     opt = build_optimizer(cfg, steps_per_epoch=10)
     state = create_train_state(model, opt, jax.random.PRNGKey(0), batch, KW)
@@ -83,8 +85,37 @@ def test_spmd_matches_single_device(rng):
     batch = make_batch(rng)
     _, l1, _ = _run_steps(make_mesh(1), batch, n_steps=2)
     _, l8, _ = _run_steps(make_mesh(8), batch, n_steps=2)
+    # rtol: cross-shard reduction order reassociates fp32 sums; a semantic
+    # divergence (per-shard statistics) would be orders of magnitude larger
+    np.testing.assert_allclose(float(l1["total_loss"]), float(l8["total_loss"]),
+                               rtol=1e-3)
+
+
+def test_spmd_batchnorm_matches_single_device(rng):
+    """Sync-BN claim (parallel/train_step.py): with BatchNorm — the
+    reference's default norm — batch statistics reduce over the GLOBAL
+    sharded batch, so the step-1 loss AND the updated running stats must
+    agree between a 1-device and an 8-device mesh.
+
+    One step only, on purpose: step-1 stats depend solely on (identical)
+    init params and the global batch, so per-shard statistics would
+    diverge by ~1e-1 while reduction-order noise stays ~1e-6. After a
+    param update the comparison is no longer sharp — RMSprop's first step
+    is ≈ lr·sign(g), so cross-shard reduction noise that flips a
+    near-zero gradient's sign moves a param by a whole step."""
+    batch = make_batch(rng)
+    s1, l1, _ = _run_steps(make_mesh(1), batch, n_steps=1, norm="bn")
+    s8, l8, _ = _run_steps(make_mesh(8), batch, n_steps=1, norm="bn")
     np.testing.assert_allclose(float(l1["total_loss"]), float(l8["total_loss"]),
                                rtol=2e-4)
+    flat1 = jax.tree_util.tree_leaves_with_path(s1.batch_stats)
+    flat8 = dict(jax.tree_util.tree_leaves_with_path(s8.batch_stats))
+    assert flat1
+    for path, v1 in flat1:
+        v8 = flat8[path]
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v8),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))
 
 
 def test_sharded_eval_step(rng):

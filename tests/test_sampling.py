@@ -6,7 +6,11 @@ import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
 
-from pointmvsnet_tpu.ops.sampling import bilinear_sample, fetch_features
+from pointmvsnet_tpu.ops.sampling import (
+    bilinear_sample,
+    fetch_features,
+    regular_grid_sample,
+)
 
 
 def torch_grid_sample(feat_nhwc: np.ndarray, uv: np.ndarray) -> np.ndarray:
@@ -58,6 +62,29 @@ def test_gradient_flows(rng):
     g = jax.grad(lambda uv: bilinear_sample(feat, uv).sum())(uv0)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.any(np.asarray(g) != 0)
+
+
+def test_regular_grid_sample_matches_bilinear(rng):
+    """The separable-matmul regular-grid path (the reference-view shortcut
+    in the cost volume / PointFlow fetch) must agree with the gather-based
+    ``bilinear_sample`` at the identical grid coordinates — including
+    non-integer scale factors and a banded y_offset."""
+    b, h, w, c = 2, 9, 13, 4
+    feat = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    for sx, sy, out_h, out_w, y_off in [
+        (1.0, 1.0, h, w, 0),            # identity
+        (0.5, 0.5, 12, 20, 0),          # upsample target grid
+        (13 / 20, 9 / 16, 8, 20, 4),    # banded rows with offset
+        (2.0, 2.0, 8, 10, 0),           # grid extends out of image → zeros
+    ]:
+        jj, ii = np.meshgrid(np.arange(out_w), np.arange(y_off, y_off + out_h))
+        uv = np.stack([jj.ravel() * sx, ii.ravel() * sy],
+                      axis=-1).astype(np.float32)
+        uv = np.broadcast_to(uv, (b,) + uv.shape)
+        want = np.asarray(bilinear_sample(feat, jnp.asarray(uv)))
+        got = np.asarray(regular_grid_sample(feat, sx, sy, out_h, out_w, y_off))
+        np.testing.assert_allclose(got, want, atol=1e-5,
+                                   err_msg=f"sx={sx} sy={sy} y_off={y_off}")
 
 
 def test_fetch_features_ref_view_identity(rng):
