@@ -31,6 +31,84 @@ def _texture(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
     return (tex * 255).astype(np.uint8)
 
 
+def _make_cams(num_views: int, height: int, width: int, depth_min: float,
+               depth_interval: float, num_depth: int):
+    """Rig shared by the synthetic layouts: cam 0 at origin looking +z,
+    view v translated along x. → (cams list, focal f, baseline)."""
+    f = 1.2 * max(height, width)
+    K = np.array([[f, 0, width / 2.0], [0, f, height / 2.0], [0, 0, 1]],
+                 np.float64)
+    baseline = depth_min * 0.012
+    cams = []
+    for v in range(num_views):
+        E = np.eye(4)
+        E[0, 3] = -v * baseline
+        cam = np.zeros((2, 4, 4), np.float32)
+        cam[0] = E
+        cam[1, :3, :3] = K
+        cam[1, 3] = [depth_min, depth_interval, num_depth,
+                     depth_min + (num_depth - 1) * depth_interval]
+        cams.append(cam)
+    return cams, f, baseline
+
+
+def _render_two_planes(rng, v, f, baseline, height, width, d_lo, d_hi,
+                       tex_l, tex_r):
+    """View v of the two fronto-parallel textured half-planes (RGB u8)."""
+    import cv2
+    img = np.zeros((height, width, 3), np.uint8)
+    split = width // 2
+    for (tex, d, x0, x1) in [(tex_l, d_lo, 0, split), (tex_r, d_hi, split, width)]:
+        disp = f * (v * baseline) / d
+        M = np.float32([[1, 0, -disp], [0, 1, 0]])
+        warped = cv2.warpAffine(tex, M, (width, height))
+        mask = np.zeros((height, width), np.uint8)
+        mask[:, x0:x1] = 1
+        wm = cv2.warpAffine(mask, M, (width, height))
+        img[wm > 0] = warped[wm > 0]
+    return img
+
+
+def make_synthetic_tanks(root: str, scenes: Sequence[str] = ("Family",),
+                         num_views: int = 5, height: int = 128,
+                         width: int = 160, depth_min: float = 425.0,
+                         depth_interval: float = 2.5, num_depth: int = 96,
+                         seed: int = 0) -> None:
+    """Create a Tanks & Temples-layout tree under ``root``
+    (``<scene>/pair.txt``, ``<scene>/cams/{v:08d}_cam.txt``,
+    ``<scene>/images/{v:08d}.jpg`` — the preprocessed MVSNet release that
+    ``dataset.tanks.TanksDataset`` consumes), with the same recoverable
+    two-plane geometry as ``make_synthetic_dtu``."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    cams, f, baseline = _make_cams(num_views, height, width, depth_min,
+                                   depth_interval, num_depth)
+    d_lo = depth_min + 0.25 * (num_depth - 1) * depth_interval
+    d_hi = depth_min + 0.70 * (num_depth - 1) * depth_interval
+
+    for scene in scenes:
+        sd = os.path.join(root, scene)
+        os.makedirs(os.path.join(sd, "cams"), exist_ok=True)
+        os.makedirs(os.path.join(sd, "images"), exist_ok=True)
+        with open(os.path.join(sd, "pair.txt"), "w") as fp:
+            fp.write(f"{num_views}\n")
+            for v in range(num_views):
+                others = sorted(range(num_views), key=lambda u: (abs(u - v), u))
+                others = [u for u in others if u != v]
+                fp.write(f"{v}\n{len(others)} " +
+                         " ".join(f"{u} {100.0 - 10 * i}"
+                                  for i, u in enumerate(others)) + "\n")
+        tex_l = _texture(rng, height, width)
+        tex_r = _texture(rng, height, width)
+        for v in range(num_views):
+            write_cam(os.path.join(sd, "cams", f"{v:08d}_cam.txt"), cams[v])
+            img = _render_two_planes(rng, v, f, baseline, height, width,
+                                     d_lo, d_hi, tex_l, tex_r)
+            cv2.imwrite(os.path.join(sd, "images", f"{v:08d}.jpg"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+
 def make_synthetic_dtu(root: str, scans: Sequence[int] = (1,), num_views: int = 5,
                        height: int = 128, width: int = 160, depth_min: float = 425.0,
                        depth_interval: float = 2.5, num_depth: int = 48,
@@ -53,21 +131,8 @@ def make_synthetic_dtu(root: str, scans: Sequence[int] = (1,), num_views: int = 
 
     assert layout in ("train", "eval")
     rng = np.random.RandomState(seed)
-
-    f = 1.2 * max(height, width)
-    K = np.array([[f, 0, width / 2.0], [0, f, height / 2.0], [0, 0, 1]], np.float64)
-    baseline = depth_min * 0.012
-
-    cams = []
-    for v in range(num_views):
-        E = np.eye(4)
-        E[0, 3] = -v * baseline  # world→cam: camera at x = +v·b
-        cam = np.zeros((2, 4, 4), np.float32)
-        cam[0] = E
-        cam[1, :3, :3] = K
-        cam[1, 3] = [depth_min, depth_interval, num_depth,
-                     depth_min + (num_depth - 1) * depth_interval]
-        cams.append(cam)
+    cams, f, baseline = _make_cams(num_views, height, width, depth_min,
+                                   depth_interval, num_depth)
 
     def _write_pair(path: str) -> None:
         with open(path, "w") as fp:
@@ -112,15 +177,8 @@ def make_synthetic_dtu(root: str, scans: Sequence[int] = (1,), num_views: int = 
         # Per-view render: each half-plane at depth d maps ref pixel (x,y) to
         # view-v pixel (x - f·(v·b)/d, y)  (pure horizontal disparity).
         for v in range(num_views):
-            img = np.zeros((height, width, 3), np.uint8)
-            for (tex, d, x0, x1) in [(tex_l, d_lo, 0, split), (tex_r, d_hi, split, width)]:
-                disp = f * (v * baseline) / d
-                M = np.float32([[1, 0, -disp], [0, 1, 0]])
-                warped = cv2.warpAffine(tex, M, (width, height))
-                mask = np.zeros((height, width), np.uint8)
-                mask[:, x0:x1] = 1
-                wm = cv2.warpAffine(mask, M, (width, height))
-                img[wm > 0] = warped[wm > 0]
+            img = _render_two_planes(rng, v, f, baseline, height, width,
+                                     d_lo, d_hi, tex_l, tex_r)
             if layout == "eval":
                 cv2.imwrite(os.path.join(img_dir, f"{v:08d}.jpg"),
                             cv2.cvtColor(img, cv2.COLOR_RGB2BGR))

@@ -33,7 +33,7 @@ from pointmvsnet_tpu.postprocess import (
 
 def fuse_scan(scan_dir: str, prob_threshold: float = 0.8,
               pix_threshold: float = 1.0, depth_threshold: float = 0.01,
-              min_views: int = 3):
+              min_views: int = 3, backend: str = "numpy"):
     """→ (points, colors) for one exported scan directory."""
     stems = sorted(set(
         re.sub(r"_(init|flow\d+|prob)\.pfm$", "", p)
@@ -63,11 +63,15 @@ def fuse_scan(scan_dir: str, prob_threshold: float = 0.8,
             images.append(im.astype(np.float32))
     probs_arg = probs if all(p is not None for p in probs) else None
     images_arg = images if len(images) == len(depths) else None
-    return fuse_depth_maps(depths, cams, probs=probs_arg, images=images_arg,
-                           prob_threshold=prob_threshold,
-                           pix_threshold=pix_threshold,
-                           depth_threshold=depth_threshold,
-                           min_views=min_views)
+    fuse_fn = fuse_depth_maps
+    if backend == "jax" and len({d.shape for d in depths}) == 1:
+        from pointmvsnet_tpu.postprocess.fusion_jax import fuse_depth_maps_jax
+        fuse_fn = fuse_depth_maps_jax
+    return fuse_fn(depths, cams, probs=probs_arg, images=images_arg,
+                   prob_threshold=prob_threshold,
+                   pix_threshold=pix_threshold,
+                   depth_threshold=depth_threshold,
+                   min_views=min_views)
 
 
 def main(argv=None):
@@ -79,6 +83,9 @@ def main(argv=None):
     ap.add_argument("--depth_threshold", type=float, default=0.01)
     ap.add_argument("--min_views", type=int, default=3)
     ap.add_argument("--gt_dir", default="", help="dir of GT scan<N>.ply for metrics")
+    ap.add_argument("--backend", default="numpy", choices=["numpy", "jax"],
+                    help="jax = run the consistency sweep jit-compiled on the "
+                         "default device (TPU); needs uniform per-scan shapes")
     args = ap.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -87,7 +94,7 @@ def main(argv=None):
         scan = os.path.basename(scan_dir)
         pts, cols = fuse_scan(scan_dir, args.prob_threshold,
                               args.pix_threshold, args.depth_threshold,
-                              args.min_views)
+                              args.min_views, backend=args.backend)
         out_path = os.path.join(args.out, scan + ".ply")
         write_ply(out_path, pts, cols)
         entry = {"n_points": int(len(pts)), "ply": out_path}

@@ -9,6 +9,11 @@ metrics, so the full paper pipeline runs end-to-end here.
 
 from pointmvsnet_tpu.postprocess.fusion import fuse_depth_maps
 from pointmvsnet_tpu.postprocess.ply import read_ply, write_ply
-from pointmvsnet_tpu.postprocess.metrics import point_cloud_metrics
+from pointmvsnet_tpu.postprocess.metrics import (
+    apply_obs_mask,
+    apply_plane_mask,
+    point_cloud_metrics,
+)
 
-__all__ = ["fuse_depth_maps", "write_ply", "read_ply", "point_cloud_metrics"]
+__all__ = ["fuse_depth_maps", "write_ply", "read_ply", "point_cloud_metrics",
+           "apply_obs_mask", "apply_plane_mask"]

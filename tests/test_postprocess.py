@@ -71,6 +71,142 @@ def test_fusion_colors():
     assert (cols == 127).all() or (cols == 128).all()
 
 
+def naive_fuse(depths, cams, probs=None, prob_threshold=0.8,
+               pix_threshold=1.0, depth_threshold=0.01, min_views=3):
+    """Independent scalar re-implementation of the MVSNet fusion protocol
+    (per-pixel Python loops, no shared code with fusion.py beyond numpy).
+    Returns fused world points in the same ref-major pixel order."""
+    def proj(p, cam):
+        e, k = cam[0], cam[1, :3, :3]
+        pc = e[:3, :3] @ p + e[:3, 3]
+        uvw = k @ pc
+        z = uvw[2] if abs(uvw[2]) >= 1e-9 else 1e-9
+        return uvw[0] / z, uvw[1] / z, pc[2]
+
+    def unproj(u, v, d, cam):
+        e, k = cam[0], cam[1, :3, :3]
+        pc = np.linalg.inv(k) @ np.array([u, v, 1.0], np.float32) * d
+        return e[:3, :3].T @ (pc - e[:3, 3])
+
+    out = []
+    nviews = len(depths)
+    for ref in range(nviews):
+        h, w = depths[ref].shape
+        for y in range(h):
+            for x in range(w):
+                d = float(depths[ref][y, x])
+                if d <= 0:
+                    continue
+                if probs is not None and probs[ref][y, x] <= prob_threshold:
+                    continue
+                p = unproj(x, y, d, cams[ref])
+                n_cons, dsum = 0, d
+                for j in range(nviews):
+                    if j == ref:
+                        continue
+                    uj, vj, zj = proj(p, cams[j])
+                    xi, yi = int(round(uj)), int(round(vj))
+                    hj, wj = depths[j].shape
+                    if not (0 <= xi < wj and 0 <= yi < hj):
+                        continue
+                    dj = float(depths[j][yi, xi])
+                    if dj <= 0 or zj <= 0:
+                        continue
+                    pj = unproj(uj, vj, dj, cams[j])
+                    ub, vb, zb = proj(pj, cams[ref])
+                    if (np.hypot(ub - x, vb - y) < pix_threshold
+                            and abs(zb - d) / max(d, 1e-9) < depth_threshold):
+                        n_cons += 1
+                        dsum += zb
+                if n_cons >= min_views:
+                    out.append(unproj(x, y, dsum / (n_cons + 1), cams[ref]))
+    return (np.asarray(out, np.float32) if out
+            else np.zeros((0, 3), np.float32))
+
+
+def test_fusion_matches_naive_protocol(rng):
+    """Vectorized fuse_depth_maps must agree point-for-point with the
+    independent scalar protocol implementation — on a noisy scene where
+    the consistency thresholds actually discriminate."""
+    depths, cams, _ = make_scene(nviews=5, h=12, w=16)
+    for d in depths:
+        d += rng.randn(*d.shape).astype(np.float32) * 0.05
+    depths[3] += 0.4                              # push one view off-surface
+    probs = [rng.rand(*d.shape).astype(np.float32) for d in depths]
+    pts, _ = fuse_depth_maps(depths, cams, probs=probs, prob_threshold=0.5,
+                             min_views=2, num_threads=1)
+    want = naive_fuse(depths, cams, probs=probs, prob_threshold=0.5,
+                      min_views=2)
+    assert pts.shape == want.shape
+    np.testing.assert_allclose(pts, want, atol=1e-4)
+    # threaded path returns the same result (ref-major order is preserved)
+    pts_mt, _ = fuse_depth_maps(depths, cams, probs=probs, prob_threshold=0.5,
+                                min_views=2, num_threads=4)
+    np.testing.assert_allclose(pts_mt, want, atol=1e-4)
+    assert 0 < len(pts)
+
+
+def test_fusion_throughput_many_views():
+    """49-view scan (a DTU scan's worth of ref views) must fuse in seconds,
+    not minutes — the vectorized+threaded path replaces the reference's
+    external GPU fusibile step."""
+    import time
+    depths, cams, _ = make_scene(nviews=49, h=64, w=80, baseline=0.02)
+    t0 = time.perf_counter()
+    pts, _ = fuse_depth_maps(depths, cams, min_views=3)
+    dt = time.perf_counter() - t0
+    assert len(pts) > 0
+    assert dt < 30.0, f"49-view fusion took {dt:.1f}s"
+
+
+def test_fusion_jax_matches_numpy(rng):
+    """The jit-compiled device fusion must reproduce the numpy protocol:
+    identical keep decisions and matching fused points, including the
+    prob filter and a padded (ragged) pair graph."""
+    from pointmvsnet_tpu.postprocess.fusion_jax import fuse_depth_maps_jax
+
+    depths, cams, _ = make_scene(nviews=5, h=16, w=24)
+    for d in depths:
+        d += rng.randn(*d.shape).astype(np.float32) * 0.05
+    probs = [rng.rand(*d.shape).astype(np.float32) for d in depths]
+    pairs = {0: [1, 2, 3], 1: [0, 2], 2: [1, 3, 4], 3: [2, 4], 4: [3]}
+    kw = dict(probs=probs, pairs=pairs, prob_threshold=0.4, min_views=2)
+    pts_np, _ = fuse_depth_maps(depths, cams, **kw)
+    pts_jx, _ = fuse_depth_maps_jax(depths, cams, **kw)
+    assert pts_np.shape == pts_jx.shape
+    np.testing.assert_allclose(pts_jx, pts_np, atol=1e-3)
+    # colors path too
+    imgs = [np.full((*d.shape, 3), 0.25, np.float32) for d in depths]
+    _, cols = fuse_depth_maps_jax(depths, cams, images=imgs, **kw)
+    assert cols is not None and len(cols) == len(pts_jx)
+
+
+def test_obs_mask_and_plane_metrics(rng):
+    from pointmvsnet_tpu.postprocess import apply_obs_mask, apply_plane_mask
+
+    gt = rng.rand(400, 3).astype(np.float32) * 10
+    pred = np.concatenate([gt[:200],
+                           gt[:50] + np.float32([30, 0, 0])])  # far outliers
+    # observability grid covering only the unit-10 cube → outliers dropped
+    mask = np.ones((10, 10, 10), bool)
+    keep = apply_obs_mask(pred, (mask, np.zeros(3, np.float32), 1.0))
+    assert keep[:200].all() and not keep[200:].any()
+    # plane z > 5 keeps only the upper half of GT
+    plane = np.array([0, 0, 1, -5], np.float32)
+    pk = apply_plane_mask(gt, plane)
+    assert ((gt[:, 2] > 5) == pk).all()
+    m = point_cloud_metrics(pred, gt, max_dist=50.0,
+                            obs_mask=(mask, np.zeros(3, np.float32), 1.0))
+    assert m["n_pred"] == 200
+    assert m["accuracy"] == 0.0          # outliers masked before the mean
+    m_pl = point_cloud_metrics(pred, gt, max_dist=50.0,
+                               obs_mask=(mask, np.zeros(3, np.float32), 1.0),
+                               gt_plane=plane)
+    assert m_pl["n_gt"] == int(pk.sum())
+    m_unmasked = point_cloud_metrics(pred, gt, max_dist=50.0)
+    assert m_unmasked["accuracy"] > 1.0  # outliers dominate without masks
+
+
 def test_ply_roundtrip(tmp_path, rng):
     pts = rng.rand(100, 3).astype(np.float32)
     cols = (rng.rand(100, 3) * 255).astype(np.uint8)

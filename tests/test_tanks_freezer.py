@@ -56,6 +56,34 @@ def test_tanks_missing_scene_skipped(tanks_root):
     assert ds.scenes == ["Family"]
 
 
+def test_tanks_end_to_end_export(tmp_path):
+    """BASELINE config #5 smoke: the test CLI over configs/tanks.yaml on a
+    synthetic T&T tree exports MVSNet-format artifacts per scene."""
+    import glob
+
+    from pointmvsnet_tpu import test as test_entry
+    from pointmvsnet_tpu.dataset.synthetic import make_synthetic_tanks
+
+    root = str(tmp_path / "tt")
+    make_synthetic_tanks(root, scenes=["Family", "Horse"], num_views=3,
+                         height=64, width=128, num_depth=16)
+    out = str(tmp_path / "out")
+    test_entry.main([
+        "--cfg", "/root/repo/configs/tanks.yaml",
+        "DATA.TEST.ROOT_DIR", root,
+        "DATA.TEST.NUM_VIEW", "3",
+        "DATA.TEST.NUM_VIRTUAL_PLANE", "16",
+        "DATA.TEST.IMG_HEIGHT", "64", "DATA.TEST.IMG_WIDTH", "128",
+        "MODEL.NORM", "gn", "MODEL.TEST.IMG_SCALES", "(0.25, 0.5)",
+        "MODEL.TEST.INTER_SCALES", "(0.75, 0.375)",
+        "OUTPUT_DIR", out,
+    ])
+    flows = glob.glob(os.path.join(out, "depths", "scan*", "*_flow2.pfm"))
+    probs = glob.glob(os.path.join(out, "depths", "scan*", "*_prob.pfm"))
+    # 2 scenes × 3 ref views with full source support
+    assert len(flows) == 6 and len(probs) == 6
+
+
 def test_freezer_masks_updates():
     import jax.numpy as jnp
     import optax
