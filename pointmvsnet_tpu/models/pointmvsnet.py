@@ -42,7 +42,11 @@ from pointmvsnet_tpu.ops.geometry import (
     unproject_pixels,
 )
 from pointmvsnet_tpu.ops.knn import window_knn_auto, window_knn_mask_auto
-from pointmvsnet_tpu.ops.sampling import fetch_features, regular_grid_sample
+from pointmvsnet_tpu.ops.sampling import (
+    build_multilevel_table,
+    fetch_features_multilevel,
+    regular_grid_sample,
+)
 
 
 def scale_cams(cams: jnp.ndarray, sx: float, sy: float) -> jnp.ndarray:
@@ -78,10 +82,12 @@ class PointFlowCore(nn.Module):
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
                  ref_cam: jnp.ndarray, cur_depth: jnp.ndarray, step: jnp.ndarray,
                  y_offset: int = 0, full_h: int = 0,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False,
+                 src_table: jnp.ndarray | None = None) -> jnp.ndarray:
         """cur_depth (B, h, w) is rows [y_offset, y_offset+h) of the full
         flow-resolution depth map (height ``full_h``, defaulting to h);
-        returns the refined band."""
+        ``src_table`` is the precomputed multilevel patch table over the
+        source views (shared across bands); returns the refined band."""
         b, h, w = cur_depth.shape
         g = 2 * self.m + 1
         n = h * w
@@ -108,18 +114,23 @@ class PointFlowCore(nn.Module):
         # source views pay for point gathers.
         nv = levels[0].shape[1]
         ref_valid = (hyp_depth > 0).reshape(b, g, n)[..., None]       # (B,G,N,1)
-        feats = []
-        for fmap, cams_l in zip(levels, cams_levels):
+        ref_parts = []
+        for fmap in levels:
             rh, rw = fmap.shape[2], fmap.shape[3]
             ref_s = regular_grid_sample(fmap[:, 0], rw / w, rh / full_h,
                                         h, w, y_offset)               # (B, N, C)
             ref_s = jnp.where(ref_valid, ref_s[:, None], 0.0)         # (B,G,N,C)
-            ref_s = ref_s.reshape(b, g * n, -1)
-            src = fetch_features(fmap[:, 1:], x, cams_l[:, 1:])       # (B,V-1,G·N,C)
-            mean = (ref_s + jnp.sum(src, axis=1)) / nv
-            sq_mean = (jnp.square(ref_s) + jnp.sum(jnp.square(src), axis=1)) / nv
-            feats.append(sq_mean - jnp.square(mean))
-        point_feat = jnp.concatenate(feats, axis=-1)                  # (B, G·N, ΣC)
+            ref_parts.append(ref_s.reshape(b, g * n, -1))
+        ref_all = jnp.concatenate(ref_parts, axis=-1)                 # (B, G·N, ΣC)
+        # All 3 pyramid levels in ONE gather per source view (bit-exact to
+        # per-level fetches — see fetch_features_multilevel); variance over
+        # views is per-channel, so concat-then-reduce == reduce-then-concat.
+        src = fetch_features_multilevel(
+            [fmap[:, 1:] for fmap in levels], x,
+            cams_levels[0][:, 1:], table=src_table)                   # (B,V-1,G·N,ΣC)
+        mean = (ref_all + jnp.sum(src, axis=1)) / nv
+        sq_mean = (jnp.square(ref_all) + jnp.sum(jnp.square(src), axis=1)) / nv
+        point_feat = sq_mean - jnp.square(mean)                       # (B, G·N, ΣC)
 
         # --- kNN graph over the structured hypothesis grid ----------------
         # stop_gradient on the INPUT: indices are non-differentiable and the
@@ -197,6 +208,10 @@ class PointFlow(nn.Module):
         if cr <= 0 or h <= cr + 16:  # too short to band (bs = cr + 2·halo)
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,
                              0, h, train)
+        # the multilevel source patch table is band-independent — build it
+        # once here so every band samples the same buffer (peak HBM stays
+        # one table, and the queued eval stream doesn't rebuild it)
+        src_table = build_multilevel_table([f[:, 1:] for f in levels])
         assert h % cr == 0 and cr % 8 == 0, (
             f"FLOW_CHUNK_ROWS={cr} must divide the flow height {h} and be a "
             f"multiple of 8")
@@ -211,7 +226,8 @@ class PointFlow(nn.Module):
         for y0 in range(0, h, cr):
             lo = min(max(0, y0 - halo), h - bs)
             band = self.core(levels, cams_levels, ref_cam,
-                             cur_depth[:, lo:lo + bs], step, lo, h, train)
+                             cur_depth[:, lo:lo + bs], step, lo, h, train,
+                             src_table)
             bands.append(band[:, y0 - lo: y0 - lo + cr])
         return jnp.concatenate(bands, axis=1)
 

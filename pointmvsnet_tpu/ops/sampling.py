@@ -16,6 +16,7 @@ Feature channel dim stays last (lane dimension).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pointmvsnet_tpu.ops.geometry import cam_extrinsics, cam_intrinsics, project_points
@@ -120,6 +121,115 @@ def regular_grid_sample(feat: jnp.ndarray, sx: float, sy: float,
     y = jnp.einsum("bhwc,ow->bhoc", feat.astype(jnp.float32), mx)
     y = jnp.einsum("bhoc,ph->bpoc", y, my)
     return y.reshape(b, out_h * out_w, c)
+
+
+def _repeat_rows(t: jnp.ndarray, axis: int, factor: int) -> jnp.ndarray:
+    """[row0, repeat(row1.., factor)] along ``axis`` — the padded-table
+    upsampling pattern (cell jy of the fine grid reads coarse row
+    ((jy−1) >> log2(factor)) + 1). Broadcast+reshape, NO gather."""
+    if factor == 1:
+        return t
+    first = jax.lax.slice_in_dim(t, 0, 1, axis=axis)
+    rest = jax.lax.slice_in_dim(t, 1, t.shape[axis], axis=axis)
+    rest = jnp.repeat(rest, factor, axis=axis)
+    return jnp.concatenate([first, rest], axis=axis)
+
+
+def build_multilevel_table(levels: list) -> jnp.ndarray:
+    """Combined per-cell patch table for ``fetch_features_multilevel``.
+
+    levels: list of (B, V, h_l, w_l, C_l) maps forming an EXACT stride-2
+    pyramid (h_0 = 2^l·h_l). → (B, V, (h0+1)·(w0+1), 4·ΣC): full-res cell
+    (jy, jx) holds every level's zero-padded 2×2 patch at its own
+    resolution (level row ((jy−1) >> l) + 1 — exact, see the fetch).
+    Build it ONCE per flow iteration and reuse across row bands: the
+    table is the big buffer (4·ΣC channels at level-0 resolution), and
+    hoisting it out of the band loop keeps peak HBM flat."""
+    b, v, h0, w0, _ = levels[0].shape
+    tables = []
+    for l, f in enumerate(levels):
+        hl, wl = f.shape[2], f.shape[3]
+        assert hl << l == h0 and wl << l == w0, (
+            f"level {l} is {hl}x{wl}, not an exact /2^{l} of {h0}x{w0}")
+        fp = jnp.pad(f, [(0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+        hp, wp = hl + 1, wl + 1
+        t = jnp.concatenate(
+            [fp[:, :, :hp, :wp], fp[:, :, :hp, 1:wp + 1],
+             fp[:, :, 1:hp + 1, :wp], fp[:, :, 1:hp + 1, 1:wp + 1]], axis=-1)
+        t = _repeat_rows(_repeat_rows(t, 2, 1 << l), 3, 1 << l)
+        tables.append(t)
+    table = jnp.concatenate(tables, axis=-1)
+    return table.reshape(b, v, (h0 + 1) * (w0 + 1), -1)
+
+
+def fetch_features_multilevel(levels: list, points: jnp.ndarray,
+                              cams: jnp.ndarray,
+                              table: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Multi-scale point-feature fetch with ONE gather for all levels.
+
+    levels: list of (B, V, h_l, w_l, C_l) feature maps forming an EXACT
+    stride-2 pyramid (h_0 = 2^l · h_l); cams: (B, V, 2, 4, 4) at the
+    LEVEL-0 resolution; points (B, N, 3); table: optional precomputed
+    ``build_multilevel_table(levels)`` (pass it when sampling the same
+    maps repeatedly, e.g. across row bands). → (B, V, N, ΣC_l), channel
+    order = level order — bit-identical to concatenating per-level
+    ``fetch_features`` results with per-level scaled cams.
+
+    Why exact: with power-of-two level scales s = 2^-l, the projected
+    coordinate u_l = s·u_0 is EXACT in fp32 (exponent shift), and the
+    level cell index floor(u_l) equals floor(u_0) >> l (arithmetic
+    shift), so one gather from a combined per-cell table — each full-res
+    cell row stores every level's 2×2 zero-padded patch — retrieves all
+    3·4 taps that the per-level gathers would. The per-level fractional
+    lerp weights and border masks are recomputed from u_0 on the VPU.
+
+    Why fast: TPU gathers are row-latency-bound (~16 cycles/row measured),
+    so 1 wide gather ≈ 3× cheaper than 3 narrow ones; this is the
+    dominant cost of the full-res PointFlow iteration (ablation: 309 ms
+    of the 429 ms flow@1.0 marginal before this op existed).
+    """
+    b, v, h0, w0, _ = levels[0].shape
+    if table is None:
+        table = build_multilevel_table(levels)
+
+    # --- project once at level-0 resolution ------------------------------
+    cams32 = cams.astype(jnp.float32)
+    extr = cam_extrinsics(cams32)
+    intr = cam_intrinsics(cams32)
+    uv, z = project_points(points.astype(jnp.float32)[:, None], extr, intr)
+    valid = (z > 0)[..., None]                                # (B, V, N, 1)
+    u, w_v = uv[..., 0], uv[..., 1]
+    i0 = jnp.floor(u).astype(jnp.int32)
+    j0 = jnp.floor(w_v).astype(jnp.int32)
+    idx = (jnp.clip(j0 + 1, 0, h0) * (w0 + 1) + jnp.clip(i0 + 1, 0, w0))
+    rows = jnp.take_along_axis(table, idx[..., None], axis=-2)  # (B,V,N,4ΣC)
+
+    # --- per-level lerp + border masks (VPU) ------------------------------
+    outs = []
+    off = 0
+    for l, f in enumerate(levels):
+        c = f.shape[-1]
+        hl, wl = f.shape[2], f.shape[3]
+        scale = 1.0 / (1 << l)
+        u_l, v_l = u * scale, w_v * scale                      # exact in fp32
+        i0l, j0l = i0 >> l, j0 >> l
+        du = (u_l - i0l.astype(jnp.float32))[..., None]
+        dv = (v_l - j0l.astype(jnp.float32))[..., None]
+
+        def inside(ui, vi):
+            return ((ui >= 0) & (ui <= wl - 1)
+                    & (vi >= 0) & (vi <= hl - 1))[..., None]
+
+        g = rows[..., off:off + 4 * c]
+        f00, f01 = g[..., 0 * c:1 * c], g[..., 1 * c:2 * c]
+        f10, f11 = g[..., 2 * c:3 * c], g[..., 3 * c:4 * c]
+        out = (jnp.where(inside(i0l, j0l), f00, 0) * ((1 - du) * (1 - dv))
+               + jnp.where(inside(i0l + 1, j0l), f01, 0) * (du * (1 - dv))
+               + jnp.where(inside(i0l, j0l + 1), f10, 0) * ((1 - du) * dv)
+               + jnp.where(inside(i0l + 1, j0l + 1), f11, 0) * (du * dv))
+        outs.append(jnp.where(valid, out, 0))
+        off += 4 * c
+    return jnp.concatenate(outs, axis=-1)
 
 
 def fetch_features(feats: jnp.ndarray, points: jnp.ndarray,

@@ -166,6 +166,36 @@ def test_batchnorm_stats_update(fwd):
     assert changed
 
 
+def test_eval_settings_v5_d96_three_flow(rng):
+    """BASELINE config #4 settings (V=5, D=96, TEST 3-scale chain ending
+    at 1.0) at CPU-sized resolution: the wide cost volume + full-res-chain
+    flow path must compile and produce sane full-resolution output."""
+    b, v, h, w, d = 1, 5, 128, 192, 96
+    cfg = tiny_cfg()
+    cfg.MODEL.NUM_VIRTUAL_PLANE = d
+    model, _, _ = build_model(cfg)
+    images = jnp.asarray(rng.rand(b, v, h, w, 3).astype(np.float32))
+    cams = np.zeros((b, v, 2, 4, 4), np.float32)
+    d_int = 0.08
+    for vi in range(v):
+        cams[:, vi, 0] = np.eye(4)
+        cams[:, vi, 0, 0, 3] = -0.25 * vi
+        cams[:, vi, 1, :3, :3] = [[150, 0, w / 2], [0, 150, h / 2], [0, 0, 1]]
+        cams[:, vi, 1, 3] = [8.0, d_int, d, 8.0 + (d - 1) * d_int]
+    cams = jnp.asarray(cams)
+    kw = dict(is_flow=True, img_scales=(0.25, 0.5, 1.0),
+              inter_scales=(0.75, 0.375, 0.1875), num_virtual_plane=d)
+    variables = model.init(jax.random.PRNGKey(0), images, cams, **kw)
+    preds = model.apply(variables, images, cams, **kw)
+    assert preds["coarse_depth_map"].shape == (b, h // 8, w // 8)
+    assert preds["flow3"].shape == (b, h, w)   # full-res final output
+    lo, hi = 8.0 - 3 * d_int, 8.0 + (d + 2) * d_int
+    for k in ("coarse_depth_map", "flow1", "flow2", "flow3"):
+        arr = np.asarray(preds[k])
+        assert np.isfinite(arr).all(), k
+        assert (arr > lo).all() and (arr < hi).all(), k
+
+
 def test_chunked_flow_exact_with_bn_eval(rng):
     """Row-banded PointFlow must be bit-identical to the unchunked pass in
     BN eval mode (running stats; halo covers the kNN window)."""

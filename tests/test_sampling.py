@@ -9,6 +9,7 @@ import torch.nn.functional as F
 from pointmvsnet_tpu.ops.sampling import (
     bilinear_sample,
     fetch_features,
+    fetch_features_multilevel,
     regular_grid_sample,
 )
 
@@ -85,6 +86,36 @@ def test_regular_grid_sample_matches_bilinear(rng):
         got = np.asarray(regular_grid_sample(feat, sx, sy, out_h, out_w, y_off))
         np.testing.assert_allclose(got, want, atol=1e-5,
                                    err_msg=f"sx={sx} sy={sy} y_off={y_off}")
+
+
+def test_fetch_features_multilevel_matches_per_level(rng):
+    """The one-gather multilevel fetch must be (bit-)exact vs per-level
+    ``fetch_features`` with power-of-two scaled cams — including points
+    behind cameras, outside images, and straddling level borders."""
+    from pointmvsnet_tpu.models.pointmvsnet import scale_cams
+
+    b, v, h0, w0 = 2, 3, 16, 24
+    chans = (4, 8, 16)
+    levels = [jnp.asarray(rng.rand(b, v, h0 >> l, w0 >> l, c)
+                          .astype(np.float32))
+              for l, c in enumerate(chans)]
+    cams = np.zeros((b, v, 2, 4, 4), np.float32)
+    for view in range(v):
+        cams[:, view, 0] = np.eye(4)
+        cams[:, view, 0, 0, 3] = -0.4 * view
+        cams[:, view, 0, 1, 3] = 0.15 * view
+        cams[:, view, 1, :3, :3] = [[25, 0, w0 / 2], [0, 25, h0 / 2], [0, 0, 1]]
+    cams = jnp.asarray(cams)
+    # points spanning in-view, out-of-view, and behind-camera regions
+    pts = np.stack([rng.uniform(-8, 8, 500), rng.uniform(-6, 6, 500),
+                    rng.uniform(-4, 12, 500)], -1).astype(np.float32)
+    pts = jnp.asarray(np.broadcast_to(pts, (b, 500, 3)))
+
+    per_level = [fetch_features(f, pts, scale_cams(cams, 0.5 ** l, 0.5 ** l))
+                 for l, f in enumerate(levels)]
+    want = np.asarray(jnp.concatenate(per_level, axis=-1))
+    got = np.asarray(fetch_features_multilevel(levels, pts, cams))
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_fetch_features_ref_view_identity(rng):
