@@ -113,6 +113,16 @@ def main():
         kw3 = dict(kwargs, num_virtual_plane=48)
         mps3, lat3 = measure(model, variables, im3, cm3, kw3)
         details["V3_D48_fullres"] = {"maps_per_sec": mps3, "latency_s": lat3}
+        # batched multi-scan eval (BASELINE config #4): two ref views per
+        # step through the same jit program — the eval engine's batched
+        # path on one chip (a data mesh spreads the same batch across chips)
+        try:
+            imb, cmb = make_inputs(2, v, h, w, d)
+            mpsb, latb = measure(model, variables, imb, cmb, kwargs, iters=8)
+            details["V5_D96_batch2"] = {"maps_per_sec": mpsb,
+                                        "latency_s_per_batch": latb}
+        except Exception as e:  # e.g. HBM exhaustion — report, don't fail
+            details["V5_D96_batch2"] = {"error": f"{type(e).__name__}"}
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=1)
 

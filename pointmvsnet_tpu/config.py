@@ -260,6 +260,9 @@ def get_default_cfg() -> CfgNode:
     _C.PARALLEL = CfgNode()
     _C.PARALLEL.DATA = -1                    # data-parallel mesh size; -1 → all devices
     _C.PARALLEL.VIEW = 1                     # view/scan-parallel eval axis
+    _C.PARALLEL.BAND = 1                     # band-parallel flow eval axis
+                                             # (shards FLOW_CHUNK_ROWS bands
+                                             # of one map across chips)
 
     return _C
 

@@ -34,8 +34,11 @@ def _dtype(cfg) -> jnp.dtype:
 
 
 @register_model("pointmvsnet")
-def build_pointmvsnet(cfg) -> Tuple[PointMVSNet, Callable, Callable]:
-    """cfg → (model, loss_fn, metric_fn) — the reference's build triple."""
+def build_pointmvsnet(cfg, band_mesh=None) -> Tuple[PointMVSNet, Callable, Callable]:
+    """cfg → (model, loss_fn, metric_fn) — the reference's build triple.
+
+    ``band_mesh``: optional Mesh with a "band" axis — shards the flow row
+    bands across chips for single-map eval latency (PARALLEL.BAND)."""
     model = PointMVSNet(
         img_base_channels=cfg.MODEL.IMG_BASE_CHANNELS,
         vol_base_channels=cfg.MODEL.VOL_BASE_CHANNELS,
@@ -49,6 +52,7 @@ def build_pointmvsnet(cfg) -> Tuple[PointMVSNet, Callable, Callable]:
         knn_impl=cfg.MODEL.KNN_IMPL,
         flow_chunk_rows=cfg.MODEL.FLOW_CHUNK_ROWS,
         remat=cfg.MODEL.REMAT,
+        band_mesh=band_mesh,
     )
     loss_fn = functools.partial(pointmvsnet_loss,
                                 valid_threshold=cfg.MODEL.VALID_THRESHOLD
@@ -57,18 +61,18 @@ def build_pointmvsnet(cfg) -> Tuple[PointMVSNet, Callable, Callable]:
 
 
 @register_model("mvsnet")
-def build_mvsnet(cfg):
+def build_mvsnet(cfg, band_mesh=None):
     """Coarse-only family (plane-sweep MVSNet, arXiv:1804.02505): the same
     architecture run with PointFlow permanently off — the engine passes
     ``is_flow=False`` whenever ``cfg.MODEL.NAME == "mvsnet"``."""
-    return build_pointmvsnet(cfg)
+    return build_pointmvsnet(cfg, band_mesh)
 
 
-def build_model(cfg):
+def build_model(cfg, band_mesh=None):
     name = cfg.MODEL.NAME
     if name not in MODEL_REGISTRY:
         raise KeyError(f"Unknown MODEL.NAME {name!r}; have {sorted(MODEL_REGISTRY)}")
-    return MODEL_REGISTRY[name](cfg)
+    return MODEL_REGISTRY[name](cfg, band_mesh)
 
 
 __all__ = [

@@ -98,8 +98,10 @@ class PointFlowCore(nn.Module):
         hyp_depth = (cur_depth.reshape(b, 1, n)
                      + offsets[None, :, None] * step[:, None, None])  # (B, G, N)
         pix = pixel_grid(h, w, dtype=cur_depth.dtype)                 # (N, 3)
-        if y_offset:
-            pix = pix + jnp.asarray([0.0, y_offset, 0.0], cur_depth.dtype)
+        # y_offset may be a traced scalar under the band-parallel vmap —
+        # the add is unconditional (XLA folds the +0 of the unbanded case)
+        pix = pix + (jnp.asarray(y_offset, cur_depth.dtype)
+                     * jnp.asarray([0.0, 1.0, 0.0], cur_depth.dtype))
         pts = unproject_pixels(pix[None, None], hyp_depth,
                                cam_extrinsics(ref_cam)[:, None],
                                cam_intrinsics(ref_cam)[:, None])      # (B, G, N, 3)
@@ -189,6 +191,7 @@ class PointFlow(nn.Module):
     knn_impl: str = "auto"
     chunk_rows: int = 0
     remat: bool = False
+    band_mesh: object = None   # jax.sharding.Mesh with a "band" axis, or None
 
     def setup(self):
         core_cls = PointFlowCore
@@ -222,9 +225,37 @@ class PointFlow(nn.Module):
         # band the SAME shape (one compile).
         halo = 8
         bs = cr + 2 * halo
+        y0s = list(range(0, h, cr))
+        los = [min(max(0, y0 - halo), h - bs) for y0 in y0s]
+
+        if self.band_mesh is not None:
+            # band-parallel eval: the bands are independent given the
+            # (replicated) pyramid, so vmap them into a leading axis and
+            # shard that axis over the mesh's "band" dimension — each chip
+            # refines its own rows; XLA all-gathers at the final concat.
+            # This is the model's spatial/sequence-parallel scaling axis
+            # (SURVEY.md §5): single-map flow latency ÷ mesh band size.
+            assert not self.remat, "band-parallel flow is eval-only"
+            from jax.sharding import NamedSharding, PartitionSpec
+            spec = NamedSharding(self.band_mesh, PartitionSpec("band"))
+            stacked = jnp.stack([cur_depth[:, lo:lo + bs] for lo in los])
+            stacked = jax.lax.with_sharding_constraint(stacked, spec)
+            lo_arr = jnp.asarray(los, jnp.int32)
+            out = nn.vmap(
+                lambda core, depth_b, lo_b: core(
+                    levels, cams_levels, ref_cam, depth_b, step, lo_b, h,
+                    train, src_table),
+                in_axes=(0, 0), out_axes=0,
+                variable_axes={"params": None, "batch_stats": None},
+                split_rngs={"params": False},
+            )(self.core, stacked, lo_arr)                  # (P, B, bs, w)
+            out = jax.lax.with_sharding_constraint(out, spec)
+            bands = [out[i][:, y0 - lo: y0 - lo + cr]
+                     for i, (y0, lo) in enumerate(zip(y0s, los))]
+            return jnp.concatenate(bands, axis=1)
+
         bands = []
-        for y0 in range(0, h, cr):
-            lo = min(max(0, y0 - halo), h - bs)
+        for y0, lo in zip(y0s, los):
             band = self.core(levels, cams_levels, ref_cam,
                              cur_depth[:, lo:lo + bs], step, lo, h, train,
                              src_table)
@@ -248,6 +279,7 @@ class PointMVSNet(nn.Module):
     knn_impl: str = "auto"
     flow_chunk_rows: int = 0
     remat: bool = False
+    band_mesh: object = None   # Mesh with a "band" axis → band-parallel flow
 
     def setup(self):
         self.img_conv = ImageConv(self.img_base_channels, self.norm, self.dtype)
@@ -255,7 +287,8 @@ class PointMVSNet(nn.Module):
         self.point_flow = PointFlow(self.edge_channels, self.flow_channels,
                                     self.flow_m, self.knn, self.knn_window,
                                     self.norm, self.dtype, self.knn_impl,
-                                    self.flow_chunk_rows, self.remat)
+                                    self.flow_chunk_rows, self.remat,
+                                    self.band_mesh)
 
     def _pyramid(self, images: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:
         """Run the shared 2D CNN over all views folded into batch."""

@@ -6,7 +6,12 @@ Replaces the reference's ``torch.nn.DataParallel`` call sites (SURVEY.md
 all-reduce (psum) that DataParallel's gather performed on GPU0.
 """
 
-from pointmvsnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from pointmvsnet_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    replicate,
+    shard_batch,
+)
 from pointmvsnet_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
@@ -16,6 +21,7 @@ from pointmvsnet_tpu.parallel.train_step import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "shard_batch",
     "replicate",
     "TrainState",

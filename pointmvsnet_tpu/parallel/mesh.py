@@ -22,6 +22,21 @@ def make_mesh(data: int = -1, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.asarray(devices[:n]).reshape(n), ("data",))
 
 
+def make_mesh_2d(data: int = 1, band: int = 1,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """("data", "band") mesh: batch sharding × band-parallel PointFlow
+    (the flow row-bands are independent given the shared feature pyramid,
+    so splitting them over chips divides single-map flow latency — the
+    spatial/sequence-parallel axis of this model, SURVEY.md §5)."""
+    if devices is None:
+        devices = jax.devices()
+    assert data * band <= len(devices), (
+        f"mesh {data}x{band} needs {data * band} devices, "
+        f"have {len(devices)}")
+    dev = np.asarray(devices[:data * band]).reshape(data, band)
+    return Mesh(dev, ("data", "band"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

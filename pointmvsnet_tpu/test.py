@@ -45,14 +45,21 @@ def parse_args(argv=None):
 
 def test(cfg, output_dir: str, max_batches: Optional[int] = None, mesh=None):
     logger = setup_logger("pointmvsnet_tpu.test", output_dir)
-    model, loss_fn, metric_fn = build_model(cfg)
-    loader = build_data_loader(cfg, "test")
+    band = max(1, cfg.PARALLEL.BAND)
     if mesh is None:
         # Clamp the eval mesh to the batch size: shard_batch with P("data")
         # needs the leading dim divisible by the mesh; TEST.BATCH_SIZE is
         # typically 1 while PARALLEL.DATA=-1 would grab every device.
         n_dev = len(jax.devices()) if cfg.PARALLEL.DATA == -1 else cfg.PARALLEL.DATA
-        mesh = make_mesh(min(n_dev, max(1, cfg.TEST.BATCH_SIZE)))
+        data = min(max(1, n_dev // band), max(1, cfg.TEST.BATCH_SIZE))
+        if band > 1:
+            from pointmvsnet_tpu.parallel import make_mesh_2d
+            mesh = make_mesh_2d(data, band)
+        else:
+            mesh = make_mesh(data)
+    band_mesh = mesh if band > 1 and "band" in mesh.axis_names else None
+    model, loss_fn, metric_fn = build_model(cfg, band_mesh=band_mesh)
+    loader = build_data_loader(cfg, "test")
 
     kwargs = dict(
         is_flow=cfg.MODEL.NAME != "mvsnet",

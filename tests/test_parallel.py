@@ -118,6 +118,34 @@ def test_spmd_batchnorm_matches_single_device(rng):
                                    err_msg=jax.tree_util.keystr(path))
 
 
+def test_band_parallel_flow_matches_serial(rng):
+    """Band-parallel PointFlow (flow row bands vmapped + sharded over the
+    mesh "band" axis) must reproduce the serial banded forward exactly —
+    the bands are independent given the replicated pyramid, and the halo
+    covers the EdgeConv receptive field."""
+    from pointmvsnet_tpu.parallel import make_mesh_2d
+
+    h, w = 64, 64
+    cfg = tiny_cfg()
+    cfg.MODEL.NORM = "bn"              # banding is exact under eval BN
+    cfg.MODEL.FLOW_CHUNK_ROWS = 16     # 4 bands at the flow resolution
+    kw = dict(KW, img_scales=(1.0,), inter_scales=(0.75,))
+    batch = make_batch(rng)
+
+    model_s, _, _ = build_model(cfg)
+    variables = model_s.init(jax.random.PRNGKey(0), batch["images"],
+                             batch["cams"], **kw)
+    want = model_s.apply(variables, batch["images"], batch["cams"], **kw)
+
+    mesh = make_mesh_2d(data=1, band=4)
+    model_p, _, _ = build_model(cfg, band_mesh=mesh)
+    fwd = jax.jit(lambda v, im, cm: model_p.apply(v, im, cm, **kw))
+    got = fwd(variables, batch["images"], batch["cams"])
+
+    np.testing.assert_allclose(np.asarray(got["flow1"]),
+                               np.asarray(want["flow1"]), rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_eval_step(rng):
     mesh = make_mesh(8)
     batch = make_batch(rng)
