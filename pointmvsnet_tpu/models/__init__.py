@@ -34,11 +34,14 @@ def _dtype(cfg) -> jnp.dtype:
 
 
 @register_model("pointmvsnet")
-def build_pointmvsnet(cfg, band_mesh=None) -> Tuple[PointMVSNet, Callable, Callable]:
+def build_pointmvsnet(cfg, band_mesh=None,
+                      view_mesh=None) -> Tuple[PointMVSNet, Callable, Callable]:
     """cfg → (model, loss_fn, metric_fn) — the reference's build triple.
 
     ``band_mesh``: optional Mesh with a "band" axis — shards the flow row
-    bands across chips for single-map eval latency (PARALLEL.BAND)."""
+    bands across chips for single-map eval latency (PARALLEL.BAND).
+    ``view_mesh``: optional Mesh with a "view" axis — shards the coarse
+    cost volume's view moments across chips (PARALLEL.VIEW)."""
     model = PointMVSNet(
         img_base_channels=cfg.MODEL.IMG_BASE_CHANNELS,
         vol_base_channels=cfg.MODEL.VOL_BASE_CHANNELS,
@@ -53,6 +56,7 @@ def build_pointmvsnet(cfg, band_mesh=None) -> Tuple[PointMVSNet, Callable, Calla
         flow_chunk_rows=cfg.MODEL.FLOW_CHUNK_ROWS,
         remat=cfg.MODEL.REMAT,
         band_mesh=band_mesh,
+        view_mesh=view_mesh,
     )
     loss_fn = functools.partial(pointmvsnet_loss,
                                 valid_threshold=cfg.MODEL.VALID_THRESHOLD
@@ -61,18 +65,18 @@ def build_pointmvsnet(cfg, band_mesh=None) -> Tuple[PointMVSNet, Callable, Calla
 
 
 @register_model("mvsnet")
-def build_mvsnet(cfg, band_mesh=None):
+def build_mvsnet(cfg, band_mesh=None, view_mesh=None):
     """Coarse-only family (plane-sweep MVSNet, arXiv:1804.02505): the same
     architecture run with PointFlow permanently off — the engine passes
     ``is_flow=False`` whenever ``cfg.MODEL.NAME == "mvsnet"``."""
-    return build_pointmvsnet(cfg, band_mesh)
+    return build_pointmvsnet(cfg, band_mesh, view_mesh)
 
 
-def build_model(cfg, band_mesh=None):
+def build_model(cfg, band_mesh=None, view_mesh=None):
     name = cfg.MODEL.NAME
     if name not in MODEL_REGISTRY:
         raise KeyError(f"Unknown MODEL.NAME {name!r}; have {sorted(MODEL_REGISTRY)}")
-    return MODEL_REGISTRY[name](cfg, band_mesh)
+    return MODEL_REGISTRY[name](cfg, band_mesh, view_mesh)
 
 
 __all__ = [

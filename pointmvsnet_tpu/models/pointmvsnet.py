@@ -280,6 +280,7 @@ class PointMVSNet(nn.Module):
     flow_chunk_rows: int = 0
     remat: bool = False
     band_mesh: object = None   # Mesh with a "band" axis → band-parallel flow
+    view_mesh: object = None   # Mesh with a "view" axis → view-parallel cost
 
     def setup(self):
         self.img_conv = ImageConv(self.img_base_channels, self.norm, self.dtype)
@@ -328,7 +329,21 @@ class PointMVSNet(nn.Module):
         d_min, d_int, _, _ = cam_depth_range(cams[:, 0])
         depths = depth_hypotheses(d_min, d_int, num_virtual_plane)  # fp32
 
-        cost = plane_sweep_volume(feats, cams_feat, depths)
+        if self.view_mesh is not None:
+            # shard the V axis over the mesh's "view" dimension: each chip
+            # warps only its own views; two psums combine the variance
+            # moments over ICI (PARALLEL.VIEW, high-view-count eval)
+            from pointmvsnet_tpu.parallel.view_parallel import (
+                view_sharded_plane_sweep,
+            )
+            n_view = self.view_mesh.shape["view"]
+            if v % n_view:
+                raise ValueError(
+                    f"PARALLEL.VIEW={n_view} must divide the view count {v}")
+            cost = view_sharded_plane_sweep(feats, cams_feat, cams_feat[:, 0],
+                                            depths, self.view_mesh)
+        else:
+            cost = plane_sweep_volume(feats, cams_feat, depths)
         logits = self.vol_conv(cost, train)[..., 0]               # (B, D, fh, fw)
         prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
         coarse_depth = depth_regression(prob, depths.astype(jnp.float32))

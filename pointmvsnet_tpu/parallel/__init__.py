@@ -9,6 +9,7 @@ all-reduce (psum) that DataParallel's gather performed on GPU0.
 from pointmvsnet_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_2d,
+    make_mesh_eval,
     replicate,
     shard_batch,
 )
@@ -22,6 +23,7 @@ from pointmvsnet_tpu.parallel.train_step import (
 __all__ = [
     "make_mesh",
     "make_mesh_2d",
+    "make_mesh_eval",
     "shard_batch",
     "replicate",
     "TrainState",

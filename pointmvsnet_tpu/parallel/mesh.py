@@ -37,6 +37,21 @@ def make_mesh_2d(data: int = 1, band: int = 1,
     return Mesh(dev, ("data", "band"))
 
 
+def make_mesh_eval(data: int = 1, band: int = 1, view: int = 1,
+                   devices: Optional[Sequence] = None) -> Mesh:
+    """("data", "band", "view") eval mesh — the three parallel axes of
+    this model: batch over scans, flow row-bands of one map, and source
+    views of the cost volume (PARALLEL.{DATA,BAND,VIEW}). Size-1 axes are
+    legal, so this subsumes the 1-D/2-D cases."""
+    if devices is None:
+        devices = jax.devices()
+    n = data * band * view
+    assert n <= len(devices), (
+        f"mesh {data}x{band}x{view} needs {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(data, band, view)
+    return Mesh(dev, ("data", "band", "view"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

@@ -46,19 +46,22 @@ def parse_args(argv=None):
 def test(cfg, output_dir: str, max_batches: Optional[int] = None, mesh=None):
     logger = setup_logger("pointmvsnet_tpu.test", output_dir)
     band = max(1, cfg.PARALLEL.BAND)
+    view = max(1, cfg.PARALLEL.VIEW)
     if mesh is None:
         # Clamp the eval mesh to the batch size: shard_batch with P("data")
         # needs the leading dim divisible by the mesh; TEST.BATCH_SIZE is
         # typically 1 while PARALLEL.DATA=-1 would grab every device.
         n_dev = len(jax.devices()) if cfg.PARALLEL.DATA == -1 else cfg.PARALLEL.DATA
-        data = min(max(1, n_dev // band), max(1, cfg.TEST.BATCH_SIZE))
-        if band > 1:
-            from pointmvsnet_tpu.parallel import make_mesh_2d
-            mesh = make_mesh_2d(data, band)
+        data = min(max(1, n_dev // (band * view)), max(1, cfg.TEST.BATCH_SIZE))
+        if band > 1 or view > 1:
+            from pointmvsnet_tpu.parallel import make_mesh_eval
+            mesh = make_mesh_eval(data, band, view)
         else:
             mesh = make_mesh(data)
     band_mesh = mesh if band > 1 and "band" in mesh.axis_names else None
-    model, loss_fn, metric_fn = build_model(cfg, band_mesh=band_mesh)
+    view_mesh = mesh if view > 1 and "view" in mesh.axis_names else None
+    model, loss_fn, metric_fn = build_model(cfg, band_mesh=band_mesh,
+                                            view_mesh=view_mesh)
     loader = build_data_loader(cfg, "test")
 
     kwargs = dict(

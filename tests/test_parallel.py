@@ -146,6 +146,30 @@ def test_band_parallel_flow_matches_serial(rng):
                                np.asarray(want["flow1"]), rtol=1e-5, atol=1e-5)
 
 
+def test_view_parallel_model_matches_serial(rng):
+    """PARALLEL.VIEW in-model path: the coarse cost volume with its view
+    axis sharded over the mesh must match the unsharded forward."""
+    from pointmvsnet_tpu.parallel import make_mesh_eval
+
+    cfg = tiny_cfg()
+    batch = make_batch(rng)
+    model_s, _, _ = build_model(cfg)
+    variables = model_s.init(jax.random.PRNGKey(0), batch["images"],
+                             batch["cams"], **KW)
+    want = model_s.apply(variables, batch["images"], batch["cams"], **KW)
+
+    mesh = make_mesh_eval(data=1, band=1, view=2)   # V=2 views, one each
+    model_p, _, _ = build_model(cfg, view_mesh=mesh)
+    fwd = jax.jit(lambda v, im, cm: model_p.apply(v, im, cm, **KW))
+    got = fwd(variables, batch["images"], batch["cams"])
+    np.testing.assert_allclose(np.asarray(got["coarse_depth_map"]),
+                               np.asarray(want["coarse_depth_map"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["flow1"]),
+                               np.asarray(want["flow1"]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_eval_step(rng):
     mesh = make_mesh(8)
     batch = make_batch(rng)
