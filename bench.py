@@ -80,6 +80,46 @@ def measure(model, variables, images, cams, kwargs, iters=15):
     return images.shape[0] / dt, dt
 
 
+def measure_train_step(batch_size=2, iters=8):
+    """Sustained train-step time at the reference DTU train config
+    (V=3, D=48, 640×512, scales 0.25/0.5): fwd + loss + bwd + RMSprop in
+    one jit with donated state. → dict for BENCH_DETAILS."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointmvsnet_tpu.models import build_model
+    from pointmvsnet_tpu.parallel import create_train_state, make_train_step
+    from pointmvsnet_tpu.utils.solver import build_optimizer
+
+    cfg, _ = build()
+    cfg.MODEL.REMAT = True   # recompute flow activations in backward —
+    #                          the production setting for 640x512 training
+    model, loss_fn, _ = build_model(cfg)
+    b, v, h, w, d = batch_size, 3, 512, 640, 48
+    images, cams = make_inputs(b, v, h, w, d)
+    rng = np.random.RandomState(1)
+    gt = jnp.asarray(rng.uniform(430.0, 520.0, (b, h, w, 1)).astype(np.float32))
+    batch = {"images": images, "cams": cams, "gt_depth": gt}
+    kwargs = dict(is_flow=True, img_scales=tuple(cfg.MODEL.TRAIN.IMG_SCALES),
+                  inter_scales=tuple(cfg.MODEL.TRAIN.INTER_SCALES),
+                  num_virtual_plane=d)
+    opt = build_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), batch, kwargs)
+    step = make_train_step(model, loss_fn, opt, None, kwargs)
+    state, losses = step(state, batch)          # compile + warmup
+    float(losses["total_loss"])
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        state, losses = step(state, batch)
+    total = float(losses["total_loss"])         # sync once at the end
+    dt = (_time.perf_counter() - t0) / iters
+    assert np.isfinite(total)
+    return {"batch_size": b, "steps_per_sec": 1.0 / dt,
+            "samples_per_sec": b / dt, "step_latency_s": dt}
+
+
 def main():
     import jax
 
@@ -123,6 +163,12 @@ def main():
                                         "latency_s_per_batch": latb}
         except Exception as e:  # e.g. HBM exhaustion — report, don't fail
             details["V5_D96_batch2"] = {"error": f"{type(e).__name__}"}
+        # training throughput at the reference train config (V=3, D=48,
+        # 640x512 inputs, scales 0.25/0.5, masked loss, RMSprop)
+        try:
+            details["train_step"] = measure_train_step()
+        except Exception as e:
+            details["train_step"] = {"error": f"{type(e).__name__}"}
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=1)
 

@@ -1,0 +1,45 @@
+"""Tanks & Temples-shape throughput sweep (BASELINE config #5).
+
+Runs the full eval pipeline (coarse + 3 PointFlow iterations, V=5, D=96)
+across T&T-relevant input resolutions on the real chip and prints one
+JSON line per shape. The T&T release ships larger frames than DTU
+(1920×1056 class); `crop_mvs_input(base=64)` brings them to these grids.
+
+Measured 2026-08-17 (TPU v5e, 1 chip, bf16, 128-row bands):
+  640×512  → 0.375 s/map (the DTU headline config)
+  1280×1024 → 5.82 s/map (superlinear: the per-view patch tables reach
+  ~0.6 GB and the fetch gathers lose cache locality; band/view-parallel
+  meshes are the intended scaling path at this size)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from bench import build, make_inputs, measure
+from pointmvsnet_tpu.utils.cache import enable_compilation_cache
+
+
+def main():
+    enable_compilation_cache()
+    cfg, model = build()
+    variables = model.init(jax.random.PRNGKey(0), *make_inputs(1, 2, 64, 64, 8),
+                           is_flow=True, img_scales=(0.25,),
+                           inter_scales=(0.75,), num_virtual_plane=8)
+    kwargs = dict(is_flow=True, img_scales=(0.25, 0.5, 1.0),
+                  inter_scales=(0.75, 0.375, 0.1875), num_virtual_plane=96)
+    for h, w in [(512, 640), (1024, 1280)]:
+        images, cams = make_inputs(1, 5, h, w, 96)
+        mps, lat = measure(model, variables, images, cams, kwargs, iters=6)
+        print(json.dumps({"shape": f"{w}x{h}", "maps_per_sec": round(mps, 4),
+                          "latency_s": round(lat, 4)}))
+
+
+if __name__ == "__main__":
+    main()

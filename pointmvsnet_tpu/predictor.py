@@ -28,10 +28,17 @@ from pointmvsnet_tpu.utils.solver import build_optimizer
 
 class Predictor:
     def __init__(self, cfg, checkpoint_dir: str = "", weight_path: str = "",
-                 normalize: bool = True):
+                 normalize: bool = True, mesh=None):
+        """``mesh``: optional eval mesh (``make_mesh_eval``) — a "band"
+        and/or "view" axis parallelizes each prediction across chips."""
         self.cfg = cfg
         self.normalize = normalize
-        self.model, _, _ = build_model(cfg)
+        band_mesh = mesh if mesh is not None and "band" in mesh.axis_names \
+            and mesh.shape["band"] > 1 else None
+        view_mesh = mesh if mesh is not None and "view" in mesh.axis_names \
+            and mesh.shape["view"] > 1 else None
+        self.model, _, _ = build_model(cfg, band_mesh=band_mesh,
+                                       view_mesh=view_mesh)
         self.kwargs = dict(
             is_flow=cfg.MODEL.NAME != "mvsnet",
             img_scales=tuple(cfg.MODEL.TEST.IMG_SCALES),

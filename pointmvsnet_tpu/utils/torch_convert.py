@@ -143,6 +143,69 @@ _TORCH_LEAF = {
 }
 
 
+def convert_checkpoint(pth_path: str, cfg, out_dir: str,
+                       name_map: Dict[str, str] | None = None) -> str:
+    """Reference ``.pth`` → orbax checkpoint loadable via ``TEST.WEIGHT``.
+
+    Builds the model from ``cfg``, initializes a template TrainState at a
+    tiny shape, converts the torch state dict onto it, and writes the
+    state under ``out_dir`` (StandardCheckpointer layout — exactly what
+    ``Checkpointer.load(path=...)`` restores). → the written path.
+    """
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from pointmvsnet_tpu.models import build_model
+    from pointmvsnet_tpu.parallel import create_train_state
+    from pointmvsnet_tpu.utils.solver import build_optimizer
+
+    model, _, _ = build_model(cfg)
+    d = 8
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 2, 64, 64, 3).astype(np.float32))
+    cams = np.zeros((1, 2, 2, 4, 4), np.float32)
+    cams[:, :, 0] = np.eye(4)
+    cams[:, :, 1, :3, :3] = [[80, 0, 32], [0, 80, 32], [0, 0, 1]]
+    cams[:, :, 1, 3] = [8.0, 0.5, d, 8.0 + (d - 1) * 0.5]
+    batch = {"images": images, "cams": jnp.asarray(cams)}
+    state = create_train_state(
+        model, build_optimizer(cfg, 1), jax.random.PRNGKey(0), batch,
+        dict(is_flow=True, img_scales=(0.25,), inter_scales=(0.75,),
+             num_virtual_plane=d))
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    converted = convert_state_dict(load_pth(pth_path), variables, name_map)
+    state = state.replace(params=converted["params"],
+                          batch_stats=converted.get("batch_stats", {}))
+
+    import os
+    out_dir = os.path.abspath(out_dir)
+    ocp.StandardCheckpointer().save(out_dir, state, force=True)
+    return out_dir
+
+
+def main(argv=None):
+    """CLI: ``python -m pointmvsnet_tpu.utils.torch_convert --pth m.pth
+    --cfg configs/dtu_wde3.yaml --out converted_ckpt`` → pass the out dir
+    as ``TEST.WEIGHT`` to the test entry."""
+    import argparse
+
+    from pointmvsnet_tpu.config import load_cfg_from_file
+
+    ap = argparse.ArgumentParser(description="torch .pth -> TEST.WEIGHT dir")
+    ap.add_argument("--pth", required=True)
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+    cfg = load_cfg_from_file(args.cfg)
+    cfg.freeze()
+    path = convert_checkpoint(args.pth, cfg, args.out)
+    print(f"converted {args.pth} -> {path}")
+
+
 def convert_state_dict(torch_sd: Dict[str, np.ndarray],
                        variables: Mapping,
                        name_map: Dict[str, str] | None = None) -> Dict:
@@ -199,3 +262,7 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray],
         raise ValueError(f"unmatched flax params ({len(unmatched)}): "
                          f"{unmatched[:8]} ...")
     return _unflatten(out)
+
+
+if __name__ == "__main__":
+    main()

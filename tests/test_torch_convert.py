@@ -164,6 +164,53 @@ def test_load_pth_strips_dataparallel(tmp_path, rng):
     assert list(out) == ["conv.weight"]
 
 
+def test_convert_checkpoint_cli_roundtrip(tmp_path, rng):
+    """CLI chain: full-mirror .pth → convert_checkpoint → Checkpointer
+    TEST.WEIGHT load — restored params match the direct conversion."""
+    from tests.torch_mirror import TorchPointMVSNet
+
+    from pointmvsnet_tpu.config import get_default_cfg
+    from pointmvsnet_tpu.utils import torch_convert as tc
+    from pointmvsnet_tpu.utils.checkpoint import Checkpointer
+
+    cfg = get_default_cfg()   # full default arch — the mirror's layout
+    cfg.MODEL.NORM = "bn"
+    tm = TorchPointMVSNet()
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"model": tm.state_dict()}, pth)
+
+    out_dir = tc.convert_checkpoint(pth, cfg, str(tmp_path / "ckpt"))
+
+    # the converted dir loads through the TEST.WEIGHT path
+    from pointmvsnet_tpu.models import build_model
+    from pointmvsnet_tpu.parallel import create_train_state
+    from pointmvsnet_tpu.utils.solver import build_optimizer
+    model, _, _ = build_model(cfg)
+    d = 8
+    images = jnp.asarray(rng.rand(1, 2, 64, 64, 3).astype(np.float32))
+    cams = np.zeros((1, 2, 2, 4, 4), np.float32)
+    cams[:, :, 0] = np.eye(4)
+    cams[:, :, 1, :3, :3] = [[80, 0, 32], [0, 80, 32], [0, 0, 1]]
+    cams[:, :, 1, 3] = [8.0, 0.5, d, 8.0 + (d - 1) * 0.5]
+    template = create_train_state(
+        model, build_optimizer(cfg, 1), jax.random.PRNGKey(1),
+        {"images": images, "cams": jnp.asarray(cams)},
+        dict(is_flow=True, img_scales=(0.25,), inter_scales=(0.75,),
+             num_virtual_plane=d))
+    restored, _ = Checkpointer(str(tmp_path / "unused")).load(
+        template, path=out_dir)
+
+    want = convert_state_dict(
+        tc.load_pth(pth),
+        {"params": template.params, "batch_stats": template.batch_stats})
+    flat_r = jax.tree_util.tree_leaves_with_path(restored.params)
+    flat_w = dict(jax.tree_util.tree_leaves_with_path(want["params"]))
+    assert flat_r
+    for path, v in flat_r:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(flat_w[path]),
+                                      err_msg=jax.tree_util.keystr(path))
+
+
 def test_unmatched_raises(rng):
     fm = ImageConv(base_channels=C, norm="bn")
     variables = fm.init(jax.random.PRNGKey(0),
