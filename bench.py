@@ -80,10 +80,14 @@ def measure(model, variables, images, cams, kwargs, iters=15):
     return images.shape[0] / dt, dt
 
 
-def measure_train_step(batch_size=2, iters=8):
+def measure_train_step(batch_size=1, iters=8):
     """Sustained train-step time at the reference DTU train config
     (V=3, D=48, 640×512, scales 0.25/0.5): fwd + loss + bwd + RMSprop in
-    one jit with donated state. → dict for BENCH_DETAILS."""
+    one jit with donated state. → dict for BENCH_DETAILS.
+
+    batch_size=1 is the per-chip shard of the production data-parallel
+    layout (and the unbanded flow graph's single-chip memory budget;
+    B=2 unbanded needs 27 GB even with remat)."""
     import time as _time
 
     import jax
@@ -93,7 +97,8 @@ def measure_train_step(batch_size=2, iters=8):
     from pointmvsnet_tpu.parallel import create_train_state, make_train_step
     from pointmvsnet_tpu.utils.solver import build_optimizer
 
-    cfg, _ = build()
+    cfg, _ = build(chunk_rows=0)  # banding is an EVAL memory feature —
+    #                               training runs unbanded (PointFlow doc)
     cfg.MODEL.REMAT = True   # recompute flow activations in backward —
     #                          the production setting for 640x512 training
     model, loss_fn, _ = build_model(cfg)

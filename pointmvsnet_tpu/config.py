@@ -234,6 +234,8 @@ def get_default_cfg() -> CfgNode:
     _C.SOLVER.RMSPROP = CfgNode()
     _C.SOLVER.RMSPROP.ALPHA = 0.9
     _C.SOLVER.RMSPROP.EPS = 1e-8
+    _C.SOLVER.SKIP_NONFINITE = True          # skip (not apply) updates when
+                                             # grads are non-finite
 
     _C.SCHEDULER = CfgNode()
     _C.SCHEDULER.TYPE = "StepLR"

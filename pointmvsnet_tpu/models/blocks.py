@@ -25,14 +25,22 @@ Dtype = Any
 
 def _norm_layer(norm: str, dtype, train: bool, num_groups: int = 8,
                 channels: int | None = None):
+    # Normalization math runs in fp32 during TRAINING regardless of the
+    # compute dtype: the backward through a half-precision rsqrt × large
+    # reduction chain can overflow to inf and poison every gradient
+    # (observed with bf16 BatchNorm at 640×512 flow shapes). Eval keeps
+    # the compute dtype — no backward, and EdgeConv folds eval BN into
+    # its masked-max affine anyway.
+    norm_dtype = jnp.float32 if train else dtype
     if norm == "bn":
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=dtype)
+                            epsilon=1e-5, dtype=norm_dtype)
     if norm == "gn":
         if channels is not None:
             import math
             num_groups = math.gcd(num_groups, channels)
-        return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=dtype)
+        return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5,
+                            dtype=norm_dtype)
     if norm == "none":
         return None
     raise ValueError(f"Unknown norm {norm!r}")

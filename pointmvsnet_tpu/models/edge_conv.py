@@ -132,12 +132,21 @@ class EdgeConv(nn.Module):
             if train:
                 f32 = pre.astype(jnp.float32)
                 bm = jnp.mean(f32, axis=(0, 1, 2))
-                bv = jnp.mean(jnp.square(f32), axis=(0, 1, 2)) - jnp.square(bm)
+                # clamp: E[x²]−E[x]² can cancel below −eps in fp32, and
+                # rsqrt(<0) NaNs (flax's own BatchNorm clamps the same way)
+                bv = jnp.maximum(
+                    jnp.mean(jnp.square(f32), axis=(0, 1, 2)) - jnp.square(bm),
+                    0.0)
                 scale, bias, _, _ = bnp(bm, bv)
-                mean, var = bm, bv
+                # normalize in fp32 during training: the backward through a
+                # bf16 rsqrt×large-reduction chain overflows to inf → NaN
+                # grads (observed at 640×512 train shapes); eval folds the
+                # affine into the masked-max fast path in compute dtype
+                pre = self._bn_normalize(f32, scale, bias, bm, bv,
+                                         dtype=jnp.float32).astype(self.dtype)
             else:
                 scale, bias, mean, var = bn_vals
-            pre = self._bn_normalize(pre, scale, bias, mean, var)
+                pre = self._bn_normalize(pre, scale, bias, mean, var)
         elif self.norm == "gn":
             layer = _norm_layer(self.norm, self.dtype, train, self.gn_groups,
                                 self.features)
@@ -145,9 +154,10 @@ class EdgeConv(nn.Module):
         pre = nn.relu(pre)
         return jnp.max(pre, axis=2)                      # max over K
 
-    def _bn_normalize(self, pre, scale, bias, mean, var):
-        """flax ``nn.BatchNorm`` normalization order, in compute dtype."""
-        dt = self.dtype
+    def _bn_normalize(self, pre, scale, bias, mean, var, dtype=None):
+        """flax ``nn.BatchNorm`` normalization order, in compute dtype
+        (or an explicit ``dtype`` — fp32 for the training backward)."""
+        dt = dtype or self.dtype
         mul = jax.lax.rsqrt(var.astype(dt) + jnp.asarray(self.bn_eps, dt))
         mul = mul * scale.astype(dt)
         return (pre - mean.astype(dt)) * mul + bias.astype(dt)

@@ -43,4 +43,12 @@ def build_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformati
         # torch-style decoupled-from-schedule L2: grad += wd · param
         opt = optax.chain(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY), opt)
     # reference `nn/freezer.py` equivalence: zero updates for matching params
-    return with_frozen(opt, tuple(cfg.TRAIN.FROZEN_PATTERNS))
+    opt = with_frozen(opt, tuple(cfg.TRAIN.FROZEN_PATTERNS))
+    if getattr(cfg.SOLVER, "SKIP_NONFINITE", True):
+        # production guard: a step with non-finite grads is SKIPPED (params
+        # and optimizer state untouched) instead of poisoning the run —
+        # standard mixed-precision practice, and it contains an observed
+        # XLA:TPU-only backward NaN at batch≥2 bf16+BN flow training
+        # (identical graph+data is finite on CPU; see docs/STATUS.md)
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=100)
+    return opt

@@ -100,6 +100,29 @@ def test_freezer_masks_updates():
     assert np.all(np.asarray(updates["vol_conv"]["kernel"]) != 0.0)
 
 
+def test_solver_skips_nonfinite_updates():
+    """SOLVER.SKIP_NONFINITE: a step with NaN/inf grads must leave params
+    untouched, and the next finite step must apply normally."""
+    import jax.numpy as jnp
+
+    from pointmvsnet_tpu.config import get_default_cfg
+    from pointmvsnet_tpu.utils.solver import build_optimizer
+    import optax
+
+    cfg = get_default_cfg()
+    opt = build_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.ones(3)}
+    st = opt.init(params)
+    bad = {"w": jnp.asarray([1.0, float("nan"), 1.0])}
+    updates, st = opt.update(bad, st, params)
+    params2 = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(params2["w"]), 1.0)  # skipped
+    good = {"w": jnp.ones(3)}
+    updates, st = opt.update(good, st, params2)
+    params3 = optax.apply_updates(params2, updates)
+    assert (np.asarray(params3["w"]) != 1.0).all()                # applied
+
+
 def test_freezer_noop_without_patterns():
     import jax.numpy as jnp
     import optax
