@@ -80,6 +80,14 @@ def make_train_step(model, loss_fn: Callable, optimizer: optax.GradientTransform
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
                                batch_stats=new_stats, opt_state=opt_state)
+        # surface SKIP_NONFINITE counters as metrics so skipped steps are
+        # visible in the log/TB instead of silently accumulating toward
+        # apply_if_finite's max_consecutive_errors limit
+        from pointmvsnet_tpu.utils.solver import nonfinite_counts
+        counts = nonfinite_counts(opt_state)
+        if counts is not None:
+            losses = dict(losses, skipped_steps=counts[0],
+                          consecutive_skipped=counts[1])
         return new_state, losses
 
     if mesh is None:

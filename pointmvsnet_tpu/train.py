@@ -34,7 +34,10 @@ from pointmvsnet_tpu.parallel import (
 from pointmvsnet_tpu.utils.checkpoint import Checkpointer
 from pointmvsnet_tpu.utils.logger import setup_logger
 from pointmvsnet_tpu.utils.metric_logger import MetricLogger
-from pointmvsnet_tpu.utils.solver import build_optimizer
+from pointmvsnet_tpu.utils.solver import (
+    MAX_CONSECUTIVE_NONFINITE,
+    build_optimizer,
+)
 from pointmvsnet_tpu.utils.tensorboard_logger import TensorboardLogger
 
 
@@ -125,6 +128,20 @@ def train(cfg, output_dir: str, max_steps_per_epoch: Optional[int] = None,
             window_steps += 1
             if it % cfg.TRAIN.LOG_PERIOD == 0:
                 losses_f = {k: float(v) for k, v in losses.items()}  # syncs
+                consec = losses_f.pop("consecutive_skipped", 0.0)
+                if losses_f.get("skipped_steps", 0.0) > 0:
+                    logger.warning(
+                        "epoch %d iter %d: %d non-finite step(s) skipped so "
+                        "far (%d consecutive)", epoch, it,
+                        int(losses_f["skipped_steps"]), int(consec))
+                if consec >= MAX_CONSECUTIVE_NONFINITE // 2:
+                    raise RuntimeError(
+                        f"{int(consec)} consecutive non-finite gradient steps "
+                        f"(SKIP_NONFINITE guard); aborting before "
+                        f"apply_if_finite(max_consecutive_errors="
+                        f"{MAX_CONSECUTIVE_NONFINITE}) would apply a "
+                        f"non-finite update. See docs/STATUS.md for the "
+                        f"known B>=2 bf16+BN anomaly and mitigations.")
                 elapsed = time.time() - window_start
                 meters.update(
                     batch_time=(elapsed - window_data) / window_steps,

@@ -50,5 +50,21 @@ def build_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformati
         # standard mixed-precision practice, and it contains an observed
         # XLA:TPU-only backward NaN at batch≥2 bf16+BN flow training
         # (identical graph+data is finite on CPU; see docs/STATUS.md)
-        opt = optax.apply_if_finite(opt, max_consecutive_errors=100)
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=MAX_CONSECUTIVE_NONFINITE)
     return opt
+
+
+# after this many CONSECUTIVE non-finite steps, optax.apply_if_finite stops
+# skipping and applies the (poisoned) update — the train loop aborts well
+# before that (see nonfinite_counts consumers)
+MAX_CONSECUTIVE_NONFINITE = 100
+
+
+def nonfinite_counts(opt_state):
+    """(total_notfinite, consecutive_notfinite) from an apply_if_finite-
+    wrapped optimizer state, or ``None`` when SKIP_NONFINITE is off.
+    Used to surface skipped steps in training metrics and to abort before
+    apply_if_finite's max_consecutive_errors lets a NaN update land."""
+    if isinstance(opt_state, optax.ApplyIfFiniteState):
+        return opt_state.total_notfinite, opt_state.notfinite_count
+    return None

@@ -150,13 +150,18 @@ def test_fusion_throughput_many_views():
     """49-view scan (a DTU scan's worth of ref views) must fuse in seconds,
     not minutes — the vectorized+threaded path replaces the reference's
     external GPU fusibile step."""
+    import os
     import time
     depths, cams, _ = make_scene(nviews=49, h=64, w=80, baseline=0.02)
     t0 = time.perf_counter()
     pts, _ = fuse_depth_maps(depths, cams, min_views=3)
     dt = time.perf_counter() - t0
     assert len(pts) > 0
-    assert dt < 30.0, f"49-view fusion took {dt:.1f}s"
+    # wall-clock bound only under PERF_ASSERTS: the default CI host has a
+    # single contended CPU, where a timing assertion flakes without any
+    # code regression (ADVICE r2)
+    if os.environ.get("PERF_ASSERTS"):
+        assert dt < 30.0, f"49-view fusion took {dt:.1f}s"
 
 
 def test_fusion_jax_matches_numpy(rng):
