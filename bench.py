@@ -50,13 +50,16 @@ def make_inputs(b, v, h, w, d, with_gt=False):
     return out
 
 
-def build(norm="bn", dtype="bfloat16", chunk_rows=128):
+def build(norm="bn", dtype="bfloat16", chunk_rows=128, fetch=None):
     from pointmvsnet_tpu.config import get_default_cfg
     from pointmvsnet_tpu.models import build_model
     cfg = get_default_cfg()
     cfg.MODEL.NORM = norm
     cfg.MODEL.DTYPE = dtype
     cfg.MODEL.FLOW_CHUNK_ROWS = chunk_rows
+    if fetch is None:
+        fetch = os.environ.get("BENCH_FETCH", cfg.MODEL.FLOW_FETCH)
+    cfg.MODEL.FLOW_FETCH = fetch
     model, _, _ = build_model(cfg)
     return cfg, model
 

@@ -197,6 +197,13 @@ def get_default_cfg() -> CfgNode:
     _C.DATA.TEST.IMG_HEIGHT = 512
     _C.DATA.TEST.IMG_WIDTH = 640
     _C.DATA.TEST.DATASET = "dtu"  # "dtu" | "tanks" (Tanks & Temples, MVSNet cam format)
+    _C.DATA.TEST.RESCALE_DEPTH = True  # tanks: honor each cam file's own
+                                       # num_depth by stretching the interval
+                                       # so the static NUM_VIRTUAL_PLANE spans
+                                       # the file's full depth range
+    _C.DATA.TEST.SHAPE_SET = ()   # tanks: optional ((H, W), ...) candidates;
+                                  # each scene picks the best fit (ragged
+                                  # resolutions → one compile per shape)
 
     # -- model -----------------------------------------------------------
     _C.MODEL = CfgNode()
@@ -225,6 +232,12 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.FLOW_CHUNK_ROWS = 0             # >0: row-banded PointFlow (memory cap;
                                              # 128 is optimal for full-res eval on v5e)
     _C.MODEL.REMAT = False                   # jax.checkpoint the flow stages
+    _C.MODEL.FLOW_FETCH = "table"            # PointFlow source fetch kernel:
+                                             # "table" (combined-table gather per
+                                             # hypothesis) | "grouped" (one patch
+                                             # row per PIXEL, hypotheses rebuilt
+                                             # on the VPU) | "auto" (grouped at
+                                             # eval, table under training)
 
     # -- solver (reference `pointmvsnet/utils/solver.py`) ----------------
     _C.SOLVER = CfgNode()

@@ -41,6 +41,7 @@ from pointmvsnet_tpu.ops.geometry import (
     pixel_grid,
     unproject_pixels,
 )
+from pointmvsnet_tpu.ops.grouped_fetch import fetch_features_grouped, pad_levels
 from pointmvsnet_tpu.ops.knn import window_knn_auto, window_knn_mask_auto
 from pointmvsnet_tpu.ops.sampling import (
     build_multilevel_table,
@@ -77,17 +78,25 @@ class PointFlowCore(nn.Module):
     norm: str = "bn"
     dtype: jnp.dtype = jnp.float32
     knn_impl: str = "auto"
+    fetch_patch: int = 4
 
     @nn.compact
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
                  ref_cam: jnp.ndarray, cur_depth: jnp.ndarray, step: jnp.ndarray,
                  y_offset: int = 0, full_h: int = 0,
                  train: bool = False,
-                 src_table: jnp.ndarray | None = None) -> jnp.ndarray:
+                 src_table: jnp.ndarray | None = None,
+                 fetch: str = "table", band_rows: int = 0,
+                 src_padded: List[jnp.ndarray] | None = None) -> jnp.ndarray:
         """cur_depth (B, h, w) is rows [y_offset, y_offset+h) of the full
         flow-resolution depth map (height ``full_h``, defaulting to h);
         ``src_table`` is the precomputed multilevel patch table over the
-        source views (shared across bands); returns the refined band."""
+        source views (shared across bands); ``fetch`` selects the source
+        fetch kernel ("table" = one combined-table gather per hypothesis
+        point; "grouped" = one patch row per PIXEL, hypotheses
+        reconstructed on the VPU — G× fewer gather rows); ``src_padded``
+        / ``band_rows`` are the grouped path's hoisted padded pyramid and
+        band-local table height. Returns the refined band."""
         b, h, w = cur_depth.shape
         g = 2 * self.m + 1
         n = h * w
@@ -127,9 +136,17 @@ class PointFlowCore(nn.Module):
         # All 3 pyramid levels in ONE gather per source view (bit-exact to
         # per-level fetches — see fetch_features_multilevel); variance over
         # views is per-channel, so concat-then-reduce == reduce-then-concat.
-        src = fetch_features_multilevel(
-            [fmap[:, 1:] for fmap in levels], x,
-            cams_levels[0][:, 1:], table=src_table)                   # (B,V-1,G·N,ΣC)
+        # The grouped variant exploits x's g-major layout: the G hypotheses
+        # of a pixel share one epipolar patch row (ops/grouped_fetch.py).
+        if fetch == "grouped":
+            src = fetch_features_grouped(
+                [fmap[:, 1:] for fmap in levels], x, cams_levels[0][:, 1:],
+                groups=g, p0=self.fetch_patch, padded=src_padded,
+                band_rows=band_rows)                                  # (B,V-1,G·N,ΣC)
+        else:
+            src = fetch_features_multilevel(
+                [fmap[:, 1:] for fmap in levels], x,
+                cams_levels[0][:, 1:], table=src_table)               # (B,V-1,G·N,ΣC)
         mean = (ref_all + jnp.sum(src, axis=1)) / nv
         sq_mean = (jnp.square(ref_all) + jnp.sum(jnp.square(src), axis=1)) / nv
         point_feat = sq_mean - jnp.square(mean)                       # (B, G·N, ΣC)
@@ -192,29 +209,57 @@ class PointFlow(nn.Module):
     chunk_rows: int = 0
     remat: bool = False
     band_mesh: object = None   # jax.sharding.Mesh with a "band" axis, or None
+    fetch: str = "table"       # "table" | "grouped" | "auto" (grouped at eval)
+    fetch_patch: int = 4       # grouped-fetch patch edge (560ch=1120B rows at
+                               # p0=4/C=(8,16,32) — the widest flat-cost row)
+    fetch_margin: int = 24     # extra band-local source rows beyond the band
 
     def setup(self):
         core_cls = PointFlowCore
         if self.remat:
             # trade FLOPs for memory: recompute the flow activations in the
             # backward pass (MODEL.REMAT; useful for large train batches)
-            core_cls = nn.remat(PointFlowCore, static_argnums=(6, 7, 8))
+            core_cls = nn.remat(PointFlowCore,
+                                static_argnums=(6, 7, 8, 10, 11))
         self.core = core_cls(self.edge_channels, self.flow_channels,
                              self.m, self.k, self.window, self.norm,
-                             self.dtype, self.knn_impl)
+                             self.dtype, self.knn_impl,
+                             fetch_patch=self.fetch_patch)
 
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
                  ref_cam: jnp.ndarray, cur_depth: jnp.ndarray, step: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
         b, h, w = cur_depth.shape
         cr = self.chunk_rows
+        fetch = ("grouped" if self.fetch == "grouped"
+                 or (self.fetch == "auto" and not train) else "table")
+        if self.band_mesh is not None:
+            # under the band-parallel nn.vmap, grouped_fetch's per-view
+            # lax.cond lowers to a select that executes BOTH branches —
+            # the exact-gather fallback would run unconditionally and eat
+            # the win, so the mesh path keeps the table kernel
+            fetch = "table"
         if cr <= 0 or h <= cr + 16:  # too short to band (bs = cr + 2·halo)
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,
-                             0, h, train)
-        # the multilevel source patch table is band-independent — build it
-        # once here so every band samples the same buffer (peak HBM stays
-        # one table, and the queued eval stream doesn't rebuild it)
-        src_table = build_multilevel_table([f[:, 1:] for f in levels])
+                             0, h, train, None, fetch, 0, None)
+        if fetch == "grouped":
+            # grouped path: hoist the padded pyramid (≈1.1× the feature
+            # maps); each band builds its own band-local patch table over
+            # a runtime vertical slice, so peak table HBM is bounded by
+            # the band height, not the image height
+            src_table = None
+            src_padded = pad_levels([f[:, 1:] for f in levels],
+                                    self.fetch_patch)
+            band_rows = -(-(cr + 16 + self.fetch_margin) // 4) * 4
+            if band_rows >= levels[0].shape[2]:
+                band_rows = 0
+        else:
+            # the multilevel source patch table is band-independent — build
+            # it once here so every band samples the same buffer (peak HBM
+            # stays one table, and the queued eval stream doesn't rebuild it)
+            src_table = build_multilevel_table([f[:, 1:] for f in levels])
+            src_padded = None
+            band_rows = 0
         assert h % cr == 0 and cr % 8 == 0, (
             f"FLOW_CHUNK_ROWS={cr} must divide the flow height {h} and be a "
             f"multiple of 8")
@@ -258,7 +303,7 @@ class PointFlow(nn.Module):
         for y0, lo in zip(y0s, los):
             band = self.core(levels, cams_levels, ref_cam,
                              cur_depth[:, lo:lo + bs], step, lo, h, train,
-                             src_table)
+                             src_table, fetch, band_rows, src_padded)
             bands.append(band[:, y0 - lo: y0 - lo + cr])
         return jnp.concatenate(bands, axis=1)
 
@@ -281,6 +326,7 @@ class PointMVSNet(nn.Module):
     remat: bool = False
     band_mesh: object = None   # Mesh with a "band" axis → band-parallel flow
     view_mesh: object = None   # Mesh with a "view" axis → view-parallel cost
+    flow_fetch: str = "table"  # "table" | "grouped" | "auto" (grouped at eval)
 
     def setup(self):
         self.img_conv = ImageConv(self.img_base_channels, self.norm, self.dtype)
@@ -289,7 +335,7 @@ class PointMVSNet(nn.Module):
                                     self.flow_m, self.knn, self.knn_window,
                                     self.norm, self.dtype, self.knn_impl,
                                     self.flow_chunk_rows, self.remat,
-                                    self.band_mesh)
+                                    self.band_mesh, fetch=self.flow_fetch)
 
     def _pyramid(self, images: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:
         """Run the shared 2D CNN over all views folded into batch."""

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from pointmvsnet_tpu.ops.geometry import cam_extrinsics, cam_intrinsics, project_points
+from pointmvsnet_tpu.ops.mxu_gather import gather_rows_mxu
 from pointmvsnet_tpu.ops.sampling import _repeat_rows, bilinear_sample
 
 _BIG = jnp.int32(2 ** 30)
@@ -116,7 +117,9 @@ def _onehot_extract(rows: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
 def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
                            cams: jnp.ndarray, groups: int, p0: int = 5,
                            padded: Sequence[jnp.ndarray] | None = None,
-                           band_rows: int = 0) -> jnp.ndarray:
+                           band_rows: int = 0, gather_impl: str = "mxu",
+                           gather_block: int = 512,
+                           gather_span: int = 1536) -> jnp.ndarray:
     """Drop-in for ``fetch_features_multilevel`` when ``points`` is a
     g-major stack of ``groups`` hypothesis sets over the same pixel grid
     (points[g·N + n] = hypothesis g of pixel n) — PointFlow's layout.
@@ -183,16 +186,40 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
     else:
         r0 = jnp.zeros((b, v), jnp.int32)
         a = oj + 1
-    miss_v = jnp.any(miss.reshape(b, v, -1), axis=-1).any(axis=0)  # (V,)
-
     ps = patch_sizes(p0, len(levels))
     row_idx = jnp.clip(a, 0, sc - 1) * (w0 + 1) + (oi + 1)     # (B, V, N)
+
+    # MXU slab gather (one-hot × slab matmul — ops/mxu_gather.py): exact
+    # when every gather_block of consecutive pixels spans < gather_span
+    # table rows (epipolar coherence). Blocks that straddle more fold into
+    # the per-view exact-fallback below, like patch overflows.
+    n_rows_tab = sc * (w0 + 1)
+    span_eff = min(gather_span, n_rows_tab)
+    if gather_impl == "mxu":
+        nb = -(-n // gather_block)
+        pad_n = nb * gather_block - n
+        ib = row_idx
+        if pad_n:
+            # last-index padding keeps the final block coherent (mirrors
+            # gather_rows_mxu's internal padding)
+            ib = jnp.concatenate(
+                [ib, jnp.broadcast_to(ib[..., -1:], (b, v, pad_n))], axis=-1)
+        ib = ib.reshape(b, v, nb, gather_block)
+        span_miss = ((jnp.max(ib, axis=-1) - jnp.min(ib, axis=-1))
+                     >= span_eff).any(axis=-1)                  # (B, V)
+        miss = miss | span_miss[..., None, None]
+    miss_v = jnp.any(miss.reshape(b, v, -1), axis=-1).any(axis=0)  # (V,)
 
     def fast_view(vi):
         table = jax.vmap(
             lambda pl, r: _build_table_one(pl, p0, h0, w0, sc, r)
         )([f[:, vi] for f in padded], r0[:, vi])               # (B, rows, ΣW)
-        rows = jnp.take_along_axis(table, row_idx[:, vi, :, None], axis=-2)
+        if gather_impl == "mxu":
+            rows, _ = gather_rows_mxu(table, row_idx[:, vi],
+                                      block=gather_block, span=span_eff)
+        else:
+            rows = jnp.take_along_axis(table, row_idx[:, vi, :, None],
+                                       axis=-2)
         outs = []                                              # rows: (B, N, ΣW)
         off = 0
         for l, f in enumerate(levels):

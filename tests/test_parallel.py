@@ -170,6 +170,42 @@ def test_view_parallel_model_matches_serial(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_combined_data_band_view_mesh(rng):
+    """ALL THREE parallel axes composed in ONE jit program: a 2×2×2
+    (data × band × view) mesh through ``make_eval_step`` — the exact
+    wiring the test CLI uses (test.py builds ``make_mesh_eval`` and hands
+    the same mesh to the model as band_mesh AND view_mesh). Must equal
+    the serial forward."""
+    from pointmvsnet_tpu.parallel import make_mesh_eval
+
+    cfg = tiny_cfg()
+    cfg.MODEL.NORM = "bn"              # banding is exact under eval BN
+    cfg.MODEL.FLOW_CHUNK_ROWS = 16     # 4 bands over the band=2 axis
+    kw = dict(KW, img_scales=(1.0,), inter_scales=(0.75,))
+    batch = {k: v[:2] for k, v in make_batch(rng).items()}  # data=2 shards
+
+    mesh = make_mesh_eval(data=2, band=2, view=2)
+    model_p, loss_fn, metric_fn = build_model(cfg, band_mesh=mesh,
+                                              view_mesh=mesh)
+    opt = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(model_p, opt, jax.random.PRNGKey(0), batch, kw)
+    state = replicate(state, mesh)
+    eval_step = make_eval_step(model_p, loss_fn, metric_fn, mesh, kw)
+    preds, losses, metrics = eval_step(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(losses["total_loss"]))
+
+    model_s, _, _ = build_model(cfg)
+    variables = {"params": jax.device_get(state.params)}
+    stats = jax.device_get(state.batch_stats)
+    if stats:
+        variables["batch_stats"] = stats
+    want = model_s.apply(variables, batch["images"], batch["cams"], **kw)
+    for k in ("coarse_depth_map", "flow1"):
+        np.testing.assert_allclose(np.asarray(preds[k]),
+                                   np.asarray(want[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+
+
 def test_sharded_eval_step(rng):
     mesh = make_mesh(8)
     batch = make_batch(rng)
