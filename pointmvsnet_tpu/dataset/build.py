@@ -122,7 +122,9 @@ def build_data_loader(cfg, mode: str = "train"):
             num_virtual_plane=cfg.DATA.TEST.NUM_VIRTUAL_PLANE,
             interval_scale=cfg.DATA.TEST.INTERVAL_SCALE,
             img_height=cfg.DATA.TEST.IMG_HEIGHT,
-            img_width=cfg.DATA.TEST.IMG_WIDTH)
+            img_width=cfg.DATA.TEST.IMG_WIDTH,
+            rescale_depth=cfg.DATA.TEST.RESCALE_DEPTH,
+            shape_set=tuple(cfg.DATA.TEST.SHAPE_SET) or None)
     else:
         ds = DTUTestDataset(
             cfg.DATA.TEST.ROOT_DIR,

@@ -113,21 +113,30 @@ def make_synthetic_tanks(root: str, scenes: Sequence[str] = ("Family",),
                          num_views: int = 5, height: int = 128,
                          width: int = 160, depth_min: float = 425.0,
                          depth_interval: float = 2.5, num_depth: int = 96,
-                         seed: int = 0) -> None:
+                         seed: int = 0, per_scene: dict | None = None) -> None:
     """Create a Tanks & Temples-layout tree under ``root``
     (``<scene>/pair.txt``, ``<scene>/cams/{v:08d}_cam.txt``,
     ``<scene>/images/{v:08d}.jpg`` — the preprocessed MVSNet release that
     ``dataset.tanks.TanksDataset`` consumes), with the same recoverable
-    two-plane geometry as ``make_synthetic_dtu``."""
+    two-plane geometry as ``make_synthetic_dtu``.
+
+    ``per_scene``: optional {scene: {height/width/num_depth/depth_interval:
+    ...}} overrides, reproducing the real release's heterogeneity (ragged
+    per-scene resolutions, per-scene depth sampling in the cam files)."""
     import cv2
 
     rng = np.random.RandomState(seed)
-    cams, f, baseline = _make_cams(num_views, height, width, depth_min,
-                                   depth_interval, num_depth)
-    d_lo = depth_min + 0.25 * (num_depth - 1) * depth_interval
-    d_hi = depth_min + 0.70 * (num_depth - 1) * depth_interval
 
     for scene in scenes:
+        ov = dict(per_scene.get(scene, {})) if per_scene else {}
+        s_h = int(ov.get("height", height))
+        s_w = int(ov.get("width", width))
+        s_nd = int(ov.get("num_depth", num_depth))
+        s_di = float(ov.get("depth_interval", depth_interval))
+        cams, f, baseline = _make_cams(num_views, s_h, s_w, depth_min,
+                                       s_di, s_nd)
+        d_lo = depth_min + 0.25 * (s_nd - 1) * s_di
+        d_hi = depth_min + 0.70 * (s_nd - 1) * s_di
         sd = os.path.join(root, scene)
         os.makedirs(os.path.join(sd, "cams"), exist_ok=True)
         os.makedirs(os.path.join(sd, "images"), exist_ok=True)
@@ -139,11 +148,11 @@ def make_synthetic_tanks(root: str, scenes: Sequence[str] = ("Family",),
                 fp.write(f"{v}\n{len(others)} " +
                          " ".join(f"{u} {100.0 - 10 * i}"
                                   for i, u in enumerate(others)) + "\n")
-        tex_l = _texture(rng, height, width)
-        tex_r = _texture(rng, height, width)
+        tex_l = _texture(rng, s_h, s_w)
+        tex_r = _texture(rng, s_h, s_w)
         for v in range(num_views):
             write_cam(os.path.join(sd, "cams", f"{v:08d}_cam.txt"), cams[v])
-            img = _render_two_planes(v, f, baseline, height, width,
+            img = _render_two_planes(v, f, baseline, s_h, s_w,
                                      d_lo, d_hi, tex_l, tex_r)
             cv2.imwrite(os.path.join(sd, "images", f"{v:08d}.jpg"),
                         cv2.cvtColor(img, cv2.COLOR_RGB2BGR))

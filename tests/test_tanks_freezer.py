@@ -84,6 +84,69 @@ def test_tanks_end_to_end_export(tmp_path):
     assert len(flows) == 6 and len(probs) == 6
 
 
+def test_tanks_rescale_depth(tanks_root):
+    """Real-release quirk: each cam.txt carries its OWN num_depth (e.g. 256
+    for Family vs 96 elsewhere). Static TPU shapes can't honor it
+    dynamically; rescale_depth stretches the interval so the configured D
+    hypotheses span the file's full [depth_min, depth_max] range."""
+    # the fixture writes num_depth=96 into every cam file; ask for D=32
+    ds = TanksDataset(tanks_root, num_view=3, num_virtual_plane=32,
+                      img_height=64, img_width=96, base=32)
+    cam = ds[0]["cams"][0]
+    # span preserved: d_min + (D-1)*interval == d_min + (96-1)*0.1
+    np.testing.assert_allclose(cam[1, 3, 1] * (32 - 1), 0.1 * (96 - 1),
+                               rtol=1e-5)
+    assert cam[1, 3, 2] == 32
+    # opt-out restores the raw interval
+    ds_raw = TanksDataset(tanks_root, num_view=3, num_virtual_plane=32,
+                          img_height=64, img_width=96, base=32,
+                          rescale_depth=False)
+    np.testing.assert_allclose(ds_raw[0]["cams"][0][1, 3, 1], 0.1, rtol=1e-6)
+
+
+def test_pick_shape_prefers_aspect_match():
+    from pointmvsnet_tpu.dataset.tanks import pick_shape
+
+    shapes = [(512, 640), (1024, 1920), (512, 1280)]
+    # 1080×1920 source (16:9) → the 1024×1920 target keeps the most pixels
+    assert pick_shape(1080, 1920, shapes, base=64) == (1024, 1920)
+    # 4:3-ish source → the 512×640 box fits best
+    assert pick_shape(600, 800, shapes, base=64) == (512, 640)
+
+
+def test_tanks_ragged_resolutions(tmp_path):
+    """Heterogeneous synthetic release: two scenes at different native
+    resolutions and depth samplings; a shape_set lets each scene pick its
+    own (H, W) (one jit compile per distinct shape downstream), and
+    rescale_depth folds each scene's num_depth into the static D."""
+    from pointmvsnet_tpu.dataset.synthetic import make_synthetic_tanks
+
+    root = str(tmp_path / "tt")
+    make_synthetic_tanks(
+        root, scenes=["Family", "Horse"], num_views=3, num_depth=16,
+        height=64, width=128,
+        per_scene={"Horse": {"height": 96, "width": 96, "num_depth": 24,
+                             "depth_interval": 1.5}})
+    ds = TanksDataset(root, num_view=3, num_virtual_plane=16,
+                      img_height=64, img_width=128, base=32,
+                      shape_set=[(64, 128), (96, 96)])
+    shapes = {}
+    for i in range(len(ds)):
+        scene, _ = ds.index[i]
+        item = ds[i]
+        shapes.setdefault(scene, item["images"].shape)
+        assert item["images"].shape == shapes[scene]
+        cam = item["cams"][0]
+        assert cam[1, 3, 2] == 16          # static D everywhere
+    assert shapes["Family"][1:3] == (64, 128)
+    assert shapes["Horse"][1:3] == (96, 96)
+    # Horse's 24-sample/1.5-interval span is preserved under D=16
+    horse = next(i for i in range(len(ds)) if ds.index[i][0] == "Horse")
+    cam = ds[horse]["cams"][0]
+    np.testing.assert_allclose(cam[1, 3, 1] * (16 - 1), 1.5 * (24 - 1),
+                               rtol=1e-5)
+
+
 def test_freezer_masks_updates():
     import jax.numpy as jnp
     import optax
