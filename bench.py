@@ -83,7 +83,7 @@ def measure(model, variables, images, cams, kwargs, iters=15):
     return images.shape[0] / dt, dt
 
 
-def measure_train_step(batch_size=1, iters=8):
+def measure_train_step(batch_size=1, iters=8, with_stages=False):
     """Sustained train-step time at the reference DTU train config
     (V=3, D=48, 640×512, scales 0.25/0.5): fwd + loss + bwd + RMSprop in
     one jit with donated state. → dict for BENCH_DETAILS.
@@ -121,8 +121,13 @@ def measure_train_step(batch_size=1, iters=8):
     total = float(losses["total_loss"])         # sync once at the end
     dt = (_time.perf_counter() - t0) / iters
     assert np.isfinite(total)
-    return {"batch_size": b, "steps_per_sec": 1.0 / dt,
-            "samples_per_sec": b / dt, "step_latency_s": dt}
+    out = {"batch_size": b, "steps_per_sec": 1.0 / dt,
+           "samples_per_sec": b / dt, "step_latency_s": dt}
+    if with_stages:
+        from pointmvsnet_tpu.utils.profiler import train_stage_latencies
+        out["stages_s"] = train_stage_latencies(model, loss_fn, opt, state,
+                                                batch, kwargs)
+    return out
 
 
 def main():
@@ -171,7 +176,7 @@ def main():
         # training throughput at the reference train config (V=3, D=48,
         # 640x512 inputs, scales 0.25/0.5, masked loss, RMSprop)
         try:
-            details["train_step"] = measure_train_step()
+            details["train_step"] = measure_train_step(with_stages=True)
         except Exception as e:
             details["train_step"] = {"error": f"{type(e).__name__}"}
         with open("BENCH_DETAILS.json", "w") as f:

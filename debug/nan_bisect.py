@@ -1,0 +1,214 @@
+"""Bisect the B>=2 bf16+BN flow-training backward NaN (docs/STATUS.md).
+
+Repro config (STATUS.md "known anomaly"): B=2, V=3, 512x640, D=48,
+MODEL.NORM=bn, DTYPE=bfloat16, img_scales=(0.25,), RMSprop. Forward stays
+finite; grads go NaN after 1-3 steps on XLA:TPU only (CPU clean, B=1
+clean, coarse-only clean, not-Pallas, not-remat, not-fetch).
+
+Usage (real TPU):
+    python debug/nan_bisect.py --steps 6                    # baseline repro
+    python debug/nan_bisect.py --ablate f32_knn_gather      # scatter dtype
+    python debug/nan_bisect.py --ablate sg_var              # variance path
+    python debug/nan_bisect.py --ablate f32_softmax
+    python debug/nan_bisect.py --ablate sg_edge_gather
+    python debug/nan_bisect.py --debug_nans                 # op-level hunt
+
+Each step prints per-top-level-subtree grad health (#nonfinite leaves,
+max|g|) — the boundary between finite and NaN subtrees brackets the
+originating op in the backward chain (cotangents flow loss -> flow head ->
+edge convs -> variance/fetch -> pyramids -> img_conv).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def grad_report(grads, prefix=""):
+    import jax
+
+    out = []
+    for name, sub in sorted(grads.items()):
+        leaves = jax.tree_util.tree_leaves(sub)
+        flat = [np.asarray(l, np.float32).ravel() for l in leaves]
+        allv = np.concatenate(flat) if flat else np.zeros(1)
+        n_bad = int(np.sum(~np.isfinite(allv)))
+        out.append(f"{prefix}{name}: bad={n_bad}/{allv.size} "
+                   f"max|g|={np.max(np.abs(allv[np.isfinite(allv)])) if np.isfinite(allv).any() else float('nan'):.3e}")
+    return out
+
+
+def apply_ablations(names):
+    """Monkeypatch the model's op bindings before build. Returns a note."""
+    import jax
+    import jax.numpy as jnp
+
+    import pointmvsnet_tpu.models.edge_conv as ec
+    import pointmvsnet_tpu.models.pointmvsnet as pm
+
+    notes = []
+    for name in names:
+        if name == "f32_knn_gather":
+            # EdgeConv neighbor gather (and its scatter-add backward) in f32
+            orig = ec.gather_knn
+
+            def g32(features, indices, _orig=orig):
+                return _orig(features.astype(jnp.float32),
+                             indices).astype(features.dtype)
+
+            ec.gather_knn = g32
+            notes.append("EdgeConv gather_knn (fwd gather + bwd scatter) in f32")
+        elif name == "sg_edge_gather":
+            # cut the backward through the neighbor gather entirely (cterm
+            # path stays live, so edge convs still train their center term)
+            orig = ec.gather_knn
+
+            def gsg(features, indices, _orig=orig):
+                return jax.lax.stop_gradient(_orig(features, indices))
+
+            ec.gather_knn = gsg
+            notes.append("stop_gradient on EdgeConv neighbor gather")
+        elif name == "sg_var":
+            # cut the backward into the variance feature -> fetch -> pyramid
+            orig_fetch = pm.fetch_features_multilevel
+
+            def fsg(*a, **k):
+                return jax.lax.stop_gradient(orig_fetch(*a, **k))
+
+            pm.fetch_features_multilevel = fsg
+            notes.append("stop_gradient on multilevel fetch (variance path)")
+        elif name == "f32_softmax":
+            orig_sm = jax.nn.softmax
+
+            def sm32(x, axis=-1):
+                return orig_sm(x.astype(jnp.float32), axis=axis)
+
+            pm.jax.nn.softmax = sm32  # pm binds jax at module level
+            notes.append("flow softmax in f32")
+        elif name == "f32_edge_mm":
+            # EdgeConv z/cterm matmuls in f32 (kernel cast skipped)
+            notes.append("(handled via MODEL.DTYPE float32 run instead)")
+        else:
+            raise SystemExit(f"unknown ablation: {name}")
+    return notes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--norm", default="bn")
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--planes", type=int, default=48)
+    ap.add_argument("--scales", default="0.25")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--scene", action="store_true",
+                    help="consistent synthetic scene instead of noise")
+    ap.add_argument("--ablate", default="",
+                    help="comma list: f32_knn_gather,sg_edge_gather,sg_var,"
+                         "f32_softmax")
+    ap.add_argument("--debug_nans", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    ablations = [a for a in args.ablate.split(",") if a]
+    notes = apply_ablations(ablations)
+    for n in notes:
+        print(f"[ablate] {n}")
+
+    import jax.numpy as jnp
+
+    from pointmvsnet_tpu.config import get_default_cfg
+    from pointmvsnet_tpu.models import build_model
+    from pointmvsnet_tpu.parallel import create_train_state
+    from pointmvsnet_tpu.utils.cache import enable_compilation_cache
+    from pointmvsnet_tpu.utils.solver import build_optimizer
+
+    enable_compilation_cache()
+    cfg = get_default_cfg()
+    cfg.MODEL.NORM = args.norm
+    cfg.MODEL.DTYPE = args.dtype
+    cfg.MODEL.FLOW_CHUNK_ROWS = 0
+    cfg.MODEL.REMAT = args.remat
+    cfg.SOLVER.SKIP_NONFINITE = False  # raw grads, no guard
+    model, loss_fn, _ = build_model(cfg)
+
+    b, v, h, w, d = args.batch, 3, args.height, args.width, args.planes
+    scales = tuple(float(s) for s in args.scales.split(","))
+    inters = tuple({0.25: 0.75, 0.5: 0.375, 1.0: 0.1875}[s] for s in scales)
+    if args.scene:
+        from pointmvsnet_tpu.dataset.synthetic import make_scene_batch
+        images, cams, gt = make_scene_batch(b, v, h, w, d)
+    else:
+        rng = np.random.RandomState(0)
+        images = rng.rand(b, v, h, w, 3).astype(np.float32)
+        from pointmvsnet_tpu.dataset.synthetic import make_scene_batch
+        _, cams, gt = make_scene_batch(b, v, h, w, d)
+    batch = {"images": jnp.asarray(images), "cams": jnp.asarray(cams),
+             "gt_depth": jnp.asarray(np.asarray(gt)[..., None])}
+    kwargs = dict(is_flow=True, img_scales=scales, inter_scales=inters,
+                  num_virtual_plane=d)
+
+    opt = build_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), batch,
+                               kwargs)
+
+    def loss_and_grads(params, batch_stats):
+        def compute(p):
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                preds, mut = model.apply(variables, batch["images"],
+                                         batch["cams"], train=True,
+                                         mutable=["batch_stats"], **kwargs)
+                stats = mut["batch_stats"]
+            else:
+                preds = model.apply(variables, batch["images"],
+                                    batch["cams"], train=True, **kwargs)
+                stats = batch_stats
+            losses = loss_fn(preds, batch["gt_depth"], batch["cams"])
+            return losses["total_loss"], stats
+
+        (loss, stats), grads = jax.value_and_grad(
+            compute, has_aux=True)(params)
+        return loss, grads, stats
+
+    import optax
+    step_fn = jax.jit(loss_and_grads)
+    opt_state = opt.init(state.params)
+    params, batch_stats = state.params, state.batch_stats
+    upd = jax.jit(lambda g, s, p: opt.update(g, s, p))
+    for i in range(args.steps):
+        loss, grads, batch_stats = step_fn(params, batch_stats)
+        loss = float(loss)
+        lines = grad_report(grads)
+        bad = any("bad=0/" not in ln for ln in lines)
+        print(f"step {i}: loss={loss:.4f} grads_bad={bad}")
+        for ln in lines:
+            print(f"  {ln}")
+        if bad:
+            print("NONFINITE GRADS at step", i)
+            break
+        updates, opt_state = upd(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    else:
+        print(f"CLEAN: {args.steps} steps, all grads finite "
+              f"(ablate={ablations or 'none'})")
+
+
+if __name__ == "__main__":
+    main()

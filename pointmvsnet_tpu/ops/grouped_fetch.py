@@ -209,6 +209,11 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
                      >= span_eff).any(axis=-1)                  # (B, V)
         miss = miss | span_miss[..., None, None]
     miss_v = jnp.any(miss.reshape(b, v, -1), axis=-1).any(axis=0)  # (V,)
+    import os
+    if os.environ.get("GROUPED_FETCH_DEBUG"):      # trace-time gate
+        jax.debug.print(
+            "grouped_fetch h0={h} miss_v={m} patch_overflow_frac={p:.5f}",
+            h=h0, m=miss_v, p=((di > p0 - 2) | (dj > p0 - 2)).mean())
 
     def fast_view(vi):
         table = jax.vmap(

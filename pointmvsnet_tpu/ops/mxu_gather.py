@@ -65,14 +65,18 @@ def gather_rows_mxu(table: jnp.ndarray, idx: jnp.ndarray, block: int = 512,
     iot = lax.broadcasted_iota(jnp.int32, (block, span), 1)
     onehot = ((rel[..., None] == iot) & ok[..., None]).astype(table.dtype)
 
-    def slab_one(tbl, b):                                        # (R,W),( )→(span,W)
-        return lax.dynamic_slice(tbl, (b, 0), (span, w))
+    def slabs_one(tbl, bases):                                   # (R,W),(nb,)→(nb,span,W)
+        # close over tbl: the nb-axis vmap must NOT batch the table (a
+        # broadcast along nb would materialize nb copies — tens of GB at
+        # full-res shapes); batching only the starts lowers to a gather
+        # of contiguous slabs
+        return jax.vmap(
+            lambda b: lax.dynamic_slice(tbl, (b, 0), (span, w)))(bases)
 
-    slabs = slab_one
-    for _ in range(len(lead) + 1):                               # nb + leading dims
+    slabs = slabs_one
+    for _ in range(len(lead)):                                   # leading dims
         slabs = jax.vmap(slabs)
-    tbl_b = jnp.broadcast_to(table[..., None, :, :], (*lead, nb, r, w))
-    slab = slabs(tbl_b, base)                                    # (..., nb, span, W)
+    slab = slabs(table, base)                                    # (..., nb, span, W)
     out = lax.dot_general(
         onehot, slab,
         dimension_numbers=(((onehot.ndim - 1,), (slab.ndim - 2,)),

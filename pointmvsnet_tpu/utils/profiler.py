@@ -62,6 +62,59 @@ def stage_latencies(model, variables, images, cams,
     return out
 
 
+def train_stage_latencies(model, loss_fn, optimizer, state, batch,
+                          model_kwargs: Dict[str, Any],
+                          iters: int = 5) -> Dict[str, float]:
+    """Train-step decomposition by pipeline differencing (same honesty
+    rule as ``stage_latencies``: stages inside one jit can't be timed
+    individually without breaking fusion, so time nested prefixes).
+
+    → fwd_s (loss forward), bwd_s (= grad − fwd), opt_s (= step − grad),
+    coarse_step_s (is_flow=False full step), flow_step_s (= step −
+    coarse_step: the marginal train cost of the flow stages), step_s.
+    None of the timed functions donate state (unlike the production step),
+    so step_s here can read a few ms above the engine's sustained rate.
+    """
+    def compute_loss(params, kwargs):
+        if state.batch_stats:
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            preds, _ = model.apply(variables, batch["images"], batch["cams"],
+                                   train=True, mutable=["batch_stats"],
+                                   **kwargs)
+        else:
+            preds = model.apply({"params": params}, batch["images"],
+                                batch["cams"], train=True, **kwargs)
+        return loss_fn(preds, batch["gt_depth"], batch["cams"])["total_loss"]
+
+    def full_step(params, opt_state, kwargs):
+        grads = jax.grad(compute_loss)(params, kwargs)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        return optax.apply_updates(params, updates), opt_state
+
+    import functools
+    kw = dict(model_kwargs)
+    kw_coarse = dict(model_kwargs, is_flow=False, img_scales=(),
+                     inter_scales=())
+    out: Dict[str, float] = {}
+    out["fwd_s"] = _timed(
+        jax.jit(functools.partial(compute_loss, kwargs=kw)),
+        state.params, iters=iters)
+    grad_s = _timed(
+        jax.jit(functools.partial(jax.grad(compute_loss), kwargs=kw)),
+        state.params, iters=iters)
+    out["bwd_s"] = grad_s - out["fwd_s"]
+    out["step_s"] = _timed(
+        jax.jit(functools.partial(full_step, kwargs=kw)),
+        state.params, state.opt_state, iters=iters)
+    out["opt_s"] = out["step_s"] - grad_s
+    out["coarse_step_s"] = _timed(
+        jax.jit(functools.partial(full_step, kwargs=kw_coarse)),
+        state.params, state.opt_state, iters=iters)
+    out["flow_step_s"] = out["step_s"] - out["coarse_step_s"]
+    return out
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """xprof trace of the enclosed block: view with tensorboard/xprof."""
