@@ -232,12 +232,16 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.FLOW_CHUNK_ROWS = 0             # >0: row-banded PointFlow (memory cap;
                                              # 128 is optimal for full-res eval on v5e)
     _C.MODEL.REMAT = False                   # jax.checkpoint the flow stages
-    _C.MODEL.FLOW_FETCH = "table"            # PointFlow source fetch kernel:
+    _C.MODEL.FLOW_FETCH = "auto"             # PointFlow source fetch kernel:
                                              # "table" (combined-table gather per
                                              # hypothesis) | "grouped" (one patch
                                              # row per PIXEL, hypotheses rebuilt
                                              # on the VPU) | "auto" (grouped at
                                              # eval, table under training)
+    _C.MODEL.COARSE_FETCH = "mxu"            # plane-sweep warp gather: "mxu"
+                                             # (slab-matmul gather, exact
+                                             # per-view fallback) | "take"
+                                             # (hardware row gather)
 
     # -- solver (reference `pointmvsnet/utils/solver.py`) ----------------
     _C.SOLVER = CfgNode()

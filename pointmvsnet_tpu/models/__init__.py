@@ -58,6 +58,7 @@ def build_pointmvsnet(cfg, band_mesh=None,
         band_mesh=band_mesh,
         view_mesh=view_mesh,
         flow_fetch=cfg.MODEL.FLOW_FETCH,
+        coarse_fetch=cfg.MODEL.COARSE_FETCH,
     )
     loss_fn = functools.partial(pointmvsnet_loss,
                                 valid_threshold=cfg.MODEL.VALID_THRESHOLD

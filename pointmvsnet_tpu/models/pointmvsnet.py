@@ -327,6 +327,7 @@ class PointMVSNet(nn.Module):
     band_mesh: object = None   # Mesh with a "band" axis → band-parallel flow
     view_mesh: object = None   # Mesh with a "view" axis → view-parallel cost
     flow_fetch: str = "table"  # "table" | "grouped" | "auto" (grouped at eval)
+    coarse_fetch: str = "mxu"  # plane-sweep warp: "mxu" | "take"
 
     def setup(self):
         self.img_conv = ImageConv(self.img_base_channels, self.norm, self.dtype)
@@ -387,9 +388,11 @@ class PointMVSNet(nn.Module):
                 raise ValueError(
                     f"PARALLEL.VIEW={n_view} must divide the view count {v}")
             cost = view_sharded_plane_sweep(feats, cams_feat, cams_feat[:, 0],
-                                            depths, self.view_mesh)
+                                            depths, self.view_mesh,
+                                            impl=self.coarse_fetch)
         else:
-            cost = plane_sweep_volume(feats, cams_feat, depths)
+            cost = plane_sweep_volume(feats, cams_feat, depths,
+                                      impl=self.coarse_fetch)
         logits = self.vol_conv(cost, train)[..., 0]               # (B, D, fh, fw)
         prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
         coarse_depth = depth_regression(prob, depths.astype(jnp.float32))

@@ -26,16 +26,19 @@ from pointmvsnet_tpu.ops.geometry import (
     pixel_grid,
     unproject_pixels,
 )
-from pointmvsnet_tpu.ops.sampling import fetch_features
+from pointmvsnet_tpu.ops.sampling import fetch_features, fetch_features_mxu
 
 
 def plane_sweep_volume(feats: jnp.ndarray, cams: jnp.ndarray,
-                       depths: jnp.ndarray) -> jnp.ndarray:
+                       depths: jnp.ndarray, impl: str = "take") -> jnp.ndarray:
     """Variance-aggregated plane-sweep cost volume.
 
     feats:  (B, V, h, w, C) feature maps (view 0 = reference)
     cams:   (B, V, 2, 4, 4) cameras *at feature resolution*
     depths: (B, D) hypothesis depths for the reference view
+    impl:   "take" = hardware row gather; "mxu" = slab-matmul gather with
+            per-view exact fallback (bit-identical, ~D× fewer row
+            latencies — the warp is the coarse stage's dominant cost)
     → cost (B, D, h, w, C)
     """
     b, v, h, w, c = feats.shape
@@ -59,7 +62,8 @@ def plane_sweep_volume(feats: jnp.ndarray, cams: jnp.ndarray,
     ref_f = feats[:, 0].astype(jnp.float32).reshape(b, 1, h * w, c)
     ref_f = jnp.where((depths > 0)[..., None, None], ref_f, 0.0)
     ref_f = ref_f.reshape(b, d * h * w, c)
-    src = fetch_features(feats[:, 1:], pts, cams[:, 1:])  # (B, V−1, D·h·w, C)
+    fetch = fetch_features_mxu if impl == "mxu" else fetch_features
+    src = fetch(feats[:, 1:], pts, cams[:, 1:])           # (B, V−1, D·h·w, C)
     mean = (ref_f + jnp.sum(src, axis=1)) / v
     sq_mean = (jnp.square(ref_f) + jnp.sum(jnp.square(src), axis=1)) / v
     var = sq_mean - jnp.square(mean)

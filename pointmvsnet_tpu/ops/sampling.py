@@ -22,6 +22,60 @@ import jax.numpy as jnp
 from pointmvsnet_tpu.ops.geometry import cam_extrinsics, cam_intrinsics, project_points
 
 
+def patch_table_2x2(feat: jnp.ndarray) -> jnp.ndarray:
+    """2×2 patch table of ``feat`` (..., H, W, C) → (..., (H+1)·(W+1), 4C).
+
+    Row (jy, jx) with jy = y0+1 ∈ [0, H], jx = x0+1 ∈ [0, W] holds
+    [F[y0,x0], F[y0,x0+1], F[y0+1,x0], F[y0+1,x0+1]] with zeros baked in
+    for out-of-image positions — so samples straddling the border gather
+    the correct (partially zero) 2×2 patch from a single row."""
+    h, w, c = feat.shape[-3], feat.shape[-2], feat.shape[-1]
+    pad = [(0, 0)] * (feat.ndim - 3) + [(1, 1), (1, 1), (0, 0)]
+    fp = jnp.pad(feat, pad)                          # coords shifted by +1
+    hp, wp = h + 1, w + 1
+    patches = jnp.concatenate(
+        [fp[..., :hp, :wp, :], fp[..., :hp, 1:wp + 1, :],
+         fp[..., 1:hp + 1, :wp, :], fp[..., 1:hp + 1, 1:wp + 1, :]], axis=-1)
+    return patches.reshape(*feat.shape[:-3], hp * wp, 4 * c)
+
+
+def _lerp_2x2(g: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, h: int, w: int,
+              valid: jnp.ndarray | None) -> jnp.ndarray:
+    """Bilinear combine of gathered 2×2 patch rows ``g`` (..., N, 4C) at
+    coords (u, v) (..., N) — per-tap border masks, zero outside, zero where
+    ``valid`` is False."""
+    c = g.shape[-1] // 4
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = (u - u0)[..., None]
+    dv = (v - v0)[..., None]
+    i0 = u0.astype(jnp.int32)
+    j0 = v0.astype(jnp.int32)
+    f00 = g[..., 0 * c:1 * c]
+    f01 = g[..., 1 * c:2 * c]
+    f10 = g[..., 2 * c:3 * c]
+    f11 = g[..., 3 * c:4 * c]
+
+    # per-tap validity (idx clipping redirects out-of-range taps, and the
+    # padded rows/cols already hold zeros for the +1 taps at the border)
+    def inside(ui, vi):
+        return ((ui >= 0) & (ui <= w - 1) & (vi >= 0) & (vi <= h - 1))[..., None]
+
+    out = (jnp.where(inside(i0, j0), f00, 0) * ((1 - du) * (1 - dv))
+           + jnp.where(inside(i0 + 1, j0), f01, 0) * (du * (1 - dv))
+           + jnp.where(inside(i0, j0 + 1), f10, 0) * ((1 - du) * dv)
+           + jnp.where(inside(i0 + 1, j0 + 1), f11, 0) * (du * dv))
+    if valid is not None:
+        out = jnp.where(valid[..., None], out, 0)
+    return out
+
+
+def _patch_row_idx(u: jnp.ndarray, v: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    i0 = jnp.floor(u).astype(jnp.int32)
+    j0 = jnp.floor(v).astype(jnp.int32)
+    return jnp.clip(j0 + 1, 0, h) * (w + 1) + jnp.clip(i0 + 1, 0, w)
+
+
 def bilinear_sample(feat: jnp.ndarray, uv: jnp.ndarray,
                     valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sample ``feat`` (..., H, W, C) at pixel coords ``uv`` (..., N, 2).
@@ -39,53 +93,12 @@ def bilinear_sample(feat: jnp.ndarray, uv: jnp.ndarray,
     than four independent taps; the patch table itself is a cheap fused
     pad+concat that XLA materializes once per feature map.
     """
-    h, w, c = feat.shape[-3], feat.shape[-2], feat.shape[-1]
+    h, w = feat.shape[-3], feat.shape[-2]
     u, v = uv[..., 0], uv[..., 1]
-
-    u0 = jnp.floor(u)
-    v0 = jnp.floor(v)
-    du = (u - u0)[..., None]
-    dv = (v - v0)[..., None]
-    i0 = u0.astype(jnp.int32)
-    j0 = v0.astype(jnp.int32)
-
-    # patch table over border-shifted coords: row (jy, jx) with
-    # jy = y0+1 ∈ [0, h], jx = x0+1 ∈ [0, w] holds
-    # [F[y0,x0], F[y0,x0+1], F[y0+1,x0], F[y0+1,x0+1]] with zeros baked in
-    # for out-of-image positions — so straddling-border samples gather the
-    # correct (partially zero) 2×2 patch from a single row.
-    pad = [(0, 0)] * (feat.ndim - 3) + [(1, 1), (1, 1), (0, 0)]
-    fp = jnp.pad(feat, pad)                          # coords shifted by +1
-    hp, wp = h + 1, w + 1
-    patches = jnp.concatenate(
-        [fp[..., :hp, :wp, :], fp[..., :hp, 1:wp + 1, :],
-         fp[..., 1:hp + 1, :wp, :], fp[..., 1:hp + 1, 1:wp + 1, :]], axis=-1)
-    patches = patches.reshape(*feat.shape[:-3], hp * wp, 4 * c)
-
-    idx = (jnp.clip(j0 + 1, 0, h) * wp + jnp.clip(i0 + 1, 0, w))
+    patches = patch_table_2x2(feat)
+    idx = _patch_row_idx(u, v, h, w)
     g = jnp.take_along_axis(patches, idx[..., None], axis=-2)
-    f00 = g[..., 0 * c:1 * c]
-    f01 = g[..., 1 * c:2 * c]
-    f10 = g[..., 2 * c:3 * c]
-    f11 = g[..., 3 * c:4 * c]
-
-    # per-tap validity (the clip above redirects out-of-range taps, and the
-    # padded rows/cols already hold zeros for the +1 taps at the border)
-    def inside(ui, vi):
-        return ((ui >= 0) & (ui <= w - 1) & (vi >= 0) & (vi <= h - 1))[..., None]
-
-    m00 = inside(i0, j0)
-    m01 = inside(i0 + 1, j0)
-    m10 = inside(i0, j0 + 1)
-    m11 = inside(i0 + 1, j0 + 1)
-
-    out = (jnp.where(m00, f00, 0) * ((1 - du) * (1 - dv))
-           + jnp.where(m01, f01, 0) * (du * (1 - dv))
-           + jnp.where(m10, f10, 0) * ((1 - du) * dv)
-           + jnp.where(m11, f11, 0) * (du * dv))
-    if valid is not None:
-        out = jnp.where(valid[..., None], out, 0)
-    return out
+    return _lerp_2x2(g, u, v, h, w, valid)
 
 
 def regular_grid_sample(feat: jnp.ndarray, sx: float, sy: float,
@@ -249,3 +262,69 @@ def fetch_features(feats: jnp.ndarray, points: jnp.ndarray,
     intr = cam_intrinsics(cams32)   # (B, V, 3, 3)
     uv, z = project_points(points.astype(jnp.float32)[:, None], extr, intr)
     return bilinear_sample(feats, uv, valid=z > 0)
+
+
+def fetch_features_mxu(feats: jnp.ndarray, points: jnp.ndarray,
+                       cams: jnp.ndarray, block: int = 512,
+                       span: int = 0) -> jnp.ndarray:
+    """``fetch_features`` with the patch-table gather served by the MXU
+    slab-matmul gather (``ops.mxu_gather``) instead of a hardware row
+    gather — bit-identical outputs (one-hot × slab sums x·1 with +0 in an
+    fp32 accumulator).
+
+    Built for the coarse plane-sweep warp (SURVEY.md §3.3), whose points
+    come ordered (depth-plane, row, col): a block of ``block`` consecutive
+    points covers a handful of image rows of ONE plane and projects into a
+    narrow contiguous window of the source patch table (epipolar
+    coherence). Views where any block overflows its ``span`` window (wild
+    geometry, plane-straddling blocks at non-divisible shapes) fall back to
+    the exact row gather via ``lax.cond`` — rare, never wrong.
+
+    span=0 → auto: ``block`` plus 8 source image rows, rounded up to 128
+    lanes (a block spans ceil(block/out_w) ref rows; source rows track ref
+    rows 1:1-ish under small relative rotation, + jitter margin).
+    """
+    from pointmvsnet_tpu.ops.mxu_gather import gather_rows_mxu
+
+    b, v, h, w, _ = feats.shape
+    cams32 = cams.astype(jnp.float32)
+    extr = cam_extrinsics(cams32)
+    intr = cam_intrinsics(cams32)
+    uv, z = project_points(points.astype(jnp.float32)[:, None], extr, intr)
+    u, vv = uv[..., 0], uv[..., 1]
+    valid = z > 0
+    idx = _patch_row_idx(u, vv, h, w)                        # (B, V, N)
+    rows_tab = (h + 1) * (w + 1)
+    if span <= 0:
+        span = block + 8 * (w + 1)
+        span = -(-span // 128) * 128
+    span = min(span, rows_tab)
+
+    # per-(batch, view) span-overflow detection — mirrors grouped_fetch's
+    # rule so the cond picks the exact path whenever the MXU gather would
+    # zero a row
+    n = idx.shape[-1]
+    nb = -(-n // block)
+    pad_n = nb * block - n
+    ib = idx
+    if pad_n:
+        ib = jnp.concatenate(
+            [ib, jnp.broadcast_to(ib[..., -1:], (b, v, pad_n))], axis=-1)
+    ib = ib.reshape(b, v, nb, block)
+    miss_v = ((jnp.max(ib, axis=-1) - jnp.min(ib, axis=-1)) >= span
+              ).any(axis=-1).any(axis=0)                     # (V,)
+
+    outs = []
+    for vi in range(v):
+        table = patch_table_2x2(feats[:, vi])                # (B, rows, 4C)
+
+        def fast(vi=vi, table=table):
+            g, _ = gather_rows_mxu(table, idx[:, vi], block=block, span=span)
+            return _lerp_2x2(g, u[:, vi], vv[:, vi], h, w, valid[:, vi])
+
+        def slow(vi=vi, table=table):
+            g = jnp.take_along_axis(table, idx[:, vi, :, None], axis=-2)
+            return _lerp_2x2(g, u[:, vi], vv[:, vi], h, w, valid[:, vi])
+
+        outs.append(jax.lax.cond(miss_v[vi], slow, fast))
+    return jnp.stack(outs, axis=1)

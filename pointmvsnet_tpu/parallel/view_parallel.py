@@ -28,12 +28,13 @@ from pointmvsnet_tpu.ops.geometry import (
     pixel_grid,
     unproject_pixels,
 )
-from pointmvsnet_tpu.ops.sampling import fetch_features
+from pointmvsnet_tpu.ops.sampling import fetch_features, fetch_features_mxu
 
 
 def view_sharded_plane_sweep(feats: jnp.ndarray, cams: jnp.ndarray,
                              ref_cam: jnp.ndarray, depths: jnp.ndarray,
-                             mesh: Mesh, axis: str = "view") -> jnp.ndarray:
+                             mesh: Mesh, axis: str = "view",
+                             impl: str = "take") -> jnp.ndarray:
     """Variance plane-sweep with the V axis sharded over ``axis``.
 
     feats (B, V, h, w, C), cams (B, V, 2, 4, 4) — sharded on V;
@@ -56,7 +57,8 @@ def view_sharded_plane_sweep(feats: jnp.ndarray, cams: jnp.ndarray,
             cam_extrinsics(ref_cam_r.astype(jnp.float32))[:, None],
             cam_intrinsics(ref_cam_r.astype(jnp.float32))[:, None])
         pts = pts.reshape(b, d * h * w, 3)
-        sampled = fetch_features(feats_s, pts, cams_s)   # (B, v_local, D·hw, C)
+        fetch = fetch_features_mxu if impl == "mxu" else fetch_features
+        sampled = fetch(feats_s, pts, cams_s)            # (B, v_local, D·hw, C)
         s1 = jnp.sum(sampled, axis=1)
         s2 = jnp.sum(jnp.square(sampled), axis=1)
         s1 = jax.lax.psum(s1, axis)

@@ -70,3 +70,52 @@ def test_confidence_edge_indices():
     prob[0, 0] = 0.75  # argmax at the first hypothesis
     conf = np.asarray(photometric_confidence(jnp.asarray(prob)))
     np.testing.assert_allclose(conf[0, 0, 0], 0.75 + 0.05 + 0.05, atol=1e-6)
+
+
+def test_mxu_sweep_matches_take(rng):
+    """COARSE_FETCH=mxu (slab-matmul gather) vs the hardware row gather:
+    same cost volume to a few f32 ulps (identical taps/masks/lerp weights;
+    XLA orders the FMA chains differently per graph), including at shapes
+    where h·w doesn't divide the gather block (plane-straddling blocks),
+    and same gradients (the training path)."""
+    import jax
+
+    for (h, w, v, d) in [(16, 16, 3, 8), (20, 24, 5, 12)]:
+        feats = jnp.asarray(rng.rand(2, v, h, w, 6).astype(np.float32))
+        cams = jnp.asarray(stereo_cams(2, v, h, w, f=20.0, baseline=0.3))
+        depths = jnp.asarray(
+            np.linspace(3.0, 9.0, d, dtype=np.float32)[None].repeat(2, 0))
+        a = plane_sweep_volume(feats, cams, depths, impl="take")
+        b = plane_sweep_volume(feats, cams, depths, impl="mxu")
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-6
+
+    # gradient parity (plane-sweep warp is in the training graph)
+    feats32 = jnp.asarray(rng.rand(1, v, h, w, 6).astype(np.float32))
+    def loss(impl):
+        return lambda x: jnp.sum(
+            plane_sweep_volume(x, cams[:1], depths[:1], impl=impl) ** 2)
+    ga = jax.grad(loss("take"))(feats32)
+    gb = jax.grad(loss("mxu"))(feats32)
+    assert float(jnp.max(jnp.abs(ga - gb))) < 1e-5
+
+    # bf16 (the production eval dtype)
+    fb = feats.astype(jnp.bfloat16)
+    a = plane_sweep_volume(fb, cams, depths, impl="take").astype(jnp.float32)
+    b = plane_sweep_volume(fb, cams, depths, impl="mxu").astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+
+def test_mxu_sweep_incoherent_fallback(rng):
+    """Geometry whose projections overflow every span window must still be
+    exact (per-view lax.cond fallback to the row gather)."""
+    from pointmvsnet_tpu.ops.sampling import fetch_features, fetch_features_mxu
+
+    h, w, v = 12, 14, 2
+    feats = jnp.asarray(rng.rand(1, v, h, w, 4).astype(np.float32))
+    cams = jnp.asarray(stereo_cams(1, v, h, w, f=15.0, baseline=0.5))
+    # scattered points: consecutive projections far apart -> span overflow
+    pts = jnp.asarray(rng.rand(1, 600, 3).astype(np.float32) * 30 - 15
+                      + np.float32([0, 0, 20]))
+    a = fetch_features(feats, pts, cams)
+    b = fetch_features_mxu(feats, pts, cams, block=64, span=8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -41,3 +41,14 @@ def test_view_sharded_two_views_per_device(rng):
     out = np.asarray(view_sharded_plane_sweep(
         feats, cams, cams[:, 0], depths, mesh))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_view_sharded_mxu_impl(rng):
+    """COARSE_FETCH=mxu inside the shard_map (per-device slab gather +
+    cond fallback) matches the unsharded take-path sweep."""
+    feats, cams, depths = make_scene(rng, v=4)
+    ref = np.asarray(plane_sweep_volume(feats, cams, depths))
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("view",))
+    out = np.asarray(view_sharded_plane_sweep(
+        feats, cams, cams[:, 0], depths, mesh, impl="mxu"))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
