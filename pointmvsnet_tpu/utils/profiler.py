@@ -24,9 +24,35 @@ import jax
 import numpy as np
 
 
+_SYNC_OVERHEAD: float | None = None
+
+
+def sync_overhead() -> float:
+    """Measured constant cost of one dispatch + scalar materialization
+    through the host↔device path (~37 ms via the axon TPU tunnel, ~0 on a
+    local backend). Per-iteration-synced timings carry this constant; it
+    cancels in prefix DIFFERENCES but must be subtracted from absolute
+    stage numbers."""
+    global _SYNC_OVERHEAD
+    if _SYNC_OVERHEAD is None:
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8, 128), jnp.float32)
+        float(np.asarray(f(x)).ravel()[0])      # compile + warm
+        times = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            float(np.asarray(f(x)).ravel()[0])
+            times.append(time.perf_counter() - t0)
+        _SYNC_OVERHEAD = float(np.median(times))
+    return _SYNC_OVERHEAD
+
+
 def _timed(fn: Callable, *args, iters: int = 5) -> float:
     """Median wall latency with per-iteration host sync (plain
-    block_until_ready is unreliable through the axon tunnel)."""
+    block_until_ready is unreliable through the axon tunnel), minus the
+    measured sync-overhead constant — the device-time estimate."""
     out = fn(*args)
     np.asarray(jax.tree_util.tree_leaves(out)[0])
     times = []
@@ -35,7 +61,7 @@ def _timed(fn: Callable, *args, iters: int = 5) -> float:
         out = fn(*args)
         float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return max(float(np.median(times)) - sync_overhead(), 0.0)
 
 
 def stage_latencies(model, variables, images, cams,
