@@ -23,6 +23,7 @@ from typing import Dict, List, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from pointmvsnet_tpu.models.edge_conv import EdgeConv
 from pointmvsnet_tpu.models.blocks import SharedMLP
@@ -165,6 +166,14 @@ class PointFlowCore(nn.Module):
             idx = window_knn_auto(pts32, (g, h, w), self.k, self.window,
                                   impl=self.knn_impl)
             mask = None
+        # under MODEL.REMAT the backward recomputes this core; the kNN
+        # top-k is pure integer output (no tangents flow through it), so
+        # saving it skips the distance+selection kernel in the recompute
+        # (PointFlow.setup's save_only_these_names policy) at the cost of
+        # one small int buffer per iteration
+        idx = checkpoint_name(idx, "knn")
+        if mask is not None:
+            mask = checkpoint_name(mask, "knn")
 
         # --- EdgeConv stack + flow head -----------------------------------
         edge_outs = []
@@ -218,9 +227,13 @@ class PointFlow(nn.Module):
         core_cls = PointFlowCore
         if self.remat:
             # trade FLOPs for memory: recompute the flow activations in the
-            # backward pass (MODEL.REMAT; useful for large train batches)
-            core_cls = nn.remat(PointFlowCore,
-                                static_argnums=(6, 7, 8, 10, 11))
+            # backward pass (MODEL.REMAT; useful for large train batches).
+            # save_only_these_names("knn"): keep the kNN graph (integer
+            # idx/mask — cheap to store, expensive to recompute); everything
+            # else rematerializes as with the default nothing-saved policy.
+            core_cls = nn.remat(
+                PointFlowCore, static_argnums=(6, 7, 8, 10, 11),
+                policy=jax.checkpoint_policies.save_only_these_names("knn"))
         self.core = core_cls(self.edge_channels, self.flow_channels,
                              self.m, self.k, self.window, self.norm,
                              self.dtype, self.knn_impl,

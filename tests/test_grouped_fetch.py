@@ -154,3 +154,47 @@ def test_grouped_batch2(rng):
     ref = fetch_features_multilevel(levels, pts, cams)
     got = fetch_features_grouped(levels, pts, cams, groups=5, p0=5)
     assert_feats_close(got, ref)
+
+
+def test_grouped_grad_parity_levels(rng):
+    """d(fetch)/d(levels) matches the multilevel gather path — the
+    training-time prerequisite for FLOW_FETCH=grouped: the one-hot
+    extract's backward is an exact scatter of the same lerp weights."""
+    import jax
+
+    levels, cams = make_pyramid(rng)
+    pts = make_points(rng, 1, 48, groups=5, spread=0.002)
+    w_rand = jnp.asarray(rng.randn(1, 3, 48 * 5, 18).astype(np.float32))
+
+    def loss(fetch_fn, lv):
+        out = fetch_fn(lv, pts, cams)
+        return jnp.sum(out * w_rand)
+
+    g_ref = jax.grad(lambda lv: loss(
+        lambda l, p, c: fetch_features_multilevel(l, p, c), lv))(levels)
+    g_got = jax.grad(lambda lv: loss(
+        lambda l, p, c: fetch_features_grouped(l, p, c, groups=5, p0=5),
+        lv))(levels)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_grad_parity_points(rng):
+    """d(fetch)/d(points) (through projection + lerp weights) matches."""
+    import jax
+
+    levels, cams = make_pyramid(rng)
+    pts = make_points(rng, 1, 48, groups=5, spread=0.002)
+    w_rand = jnp.asarray(rng.randn(1, 3, 48 * 5, 18).astype(np.float32))
+
+    def loss(fetch_fn, p):
+        return jnp.sum(fetch_fn(p) * w_rand)
+
+    g_ref = jax.grad(lambda p: loss(
+        lambda q: fetch_features_multilevel(levels, q, cams), pts))(pts)
+    g_got = jax.grad(lambda p: loss(
+        lambda q: fetch_features_grouped(levels, q, cams, groups=5, p0=5),
+        pts))(pts)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=2e-4, atol=1e-5)

@@ -215,3 +215,44 @@ def test_chunked_flow_exact_with_bn_eval(rng):
     p1 = m1.apply(var, images, cams, **kw)
     np.testing.assert_array_equal(np.asarray(p0["flow2"]), np.asarray(p1["flow2"]))
     np.testing.assert_array_equal(np.asarray(p0["flow1"]), np.asarray(p1["flow1"]))
+
+
+def test_remat_grads_match_no_remat(rng=np.random.RandomState(7)):
+    """MODEL.REMAT (checkpointed PointFlowCore with the save-knn policy)
+    must reproduce the unrematted training gradients — rematerialization
+    changes scheduling, never math (tolerance covers the float
+    reassociation of the differently-fused recompute graph)."""
+    images, cams, gt = make_batch(rng)
+    kwargs = dict(is_flow=True, img_scales=(0.25, 0.5),
+                  inter_scales=(0.75, 0.375), num_virtual_plane=D)
+
+    def grads_with(remat):
+        cfg = tiny_cfg()
+        cfg.MODEL.REMAT = remat
+        model, loss_fn, _ = build_model(cfg)
+        variables = model.init(jax.random.PRNGKey(0), images, cams, **kwargs)
+
+        def loss(params):
+            preds, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                images, cams, train=True, mutable=["batch_stats"], **kwargs)
+            return loss_fn(preds, gt, cams)["total_loss"]
+
+        return jax.grad(loss)(variables["params"])
+
+    g0 = grads_with(False)
+    g1 = grads_with(True)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(g1)}
+    for k, v in flat0:
+        ref = np.asarray(v)
+        got = np.asarray(flat1[jax.tree_util.keystr(k)])
+        # per-tensor scaled bound: reassociation noise is relative to the
+        # tensor's grad magnitude, not each element's
+        # floor covers true-zero grads (e.g. the flow-head bias: softmax is
+        # shift-invariant, so its exact grad is 0 and both paths produce
+        # O(1e-8) cancellation noise)
+        tol = max(1e-3 * float(np.abs(ref).max()), 1e-6)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=tol,
+                                   err_msg=jax.tree_util.keystr(k))
