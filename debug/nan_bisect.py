@@ -11,7 +11,12 @@ Usage (real TPU):
     python debug/nan_bisect.py --ablate sg_var              # variance path
     python debug/nan_bisect.py --ablate f32_softmax
     python debug/nan_bisect.py --ablate sg_edge_gather
+    python debug/nan_bisect.py --ablate bn_free_flow        # flow norm=none
+    python debug/nan_bisect.py --ablate sg_edge_in          # conv-stack walls
+    python debug/nan_bisect.py --ablate f32_var             # bf16 cancellation
+    python debug/nan_bisect.py --ablate sg_softmax_in       # flow head
     python debug/nan_bisect.py --debug_nans                 # op-level hunt
+    python debug/nan_bisect.py --dump_hlo /tmp/step.hlo     # optimized HLO
 
 Each step prints per-top-level-subtree grad health (#nonfinite leaves,
 max|g|) — the boundary between finite and NaN subtrees brackets the
@@ -93,6 +98,58 @@ def apply_ablations(names):
         elif name == "f32_edge_mm":
             # EdgeConv z/cterm matmuls in f32 (kernel cast skipped)
             notes.append("(handled via MODEL.DTYPE float32 run instead)")
+        elif name == "bn_free_flow":
+            # flow stages with norm="none" (coarse keeps BN): does the NaN
+            # live in the flow-side BatchNorm backward?
+            orig_pf = pm.PointFlow
+
+            def pf_nonorm(*a, **k):
+                a = list(a)
+                if len(a) > 5:
+                    a[5] = "none"
+                else:
+                    k["norm"] = "none"
+                return orig_pf(*a, **k)
+
+            pm.PointFlow = pf_nonorm
+            notes.append("flow modules norm=none (coarse keeps bn)")
+        elif name == "sg_edge_in":
+            # stop_gradient on every EdgeConv INPUT: cuts the backward
+            # between stacked convs and into the variance feature, while
+            # each conv still trains its own kernel/BN
+            orig_edge = pm.EdgeConv
+
+            class SGEdge(orig_edge):
+                def __call__(self, x, *a, **k):
+                    return super().__call__(jax.lax.stop_gradient(x), *a, **k)
+
+            pm.EdgeConv = SGEdge
+            notes.append("stop_gradient on each EdgeConv input")
+        elif name == "f32_var":
+            # variance feature (sq_mean - mean²: bf16 cancellation suspect)
+            # computed in f32: force f32 fetch outputs; EdgeConv casts its
+            # input back to compute dtype, so ONLY the variance math changes
+            orig_fetch2 = pm.fetch_features_multilevel
+            orig_ref = pm.regular_grid_sample
+
+            def f32fetch(*a, **k):
+                return orig_fetch2(*a, **k).astype(jnp.float32)
+
+            def f32ref(*a, **k):
+                return orig_ref(*a, **k).astype(jnp.float32)
+
+            pm.fetch_features_multilevel = f32fetch
+            pm.regular_grid_sample = f32ref
+            notes.append("variance feature computed in f32")
+        elif name == "sg_softmax_in":
+            # cut the backward through the flow softmax/expectation head
+            orig_sm2 = jax.nn.softmax
+
+            def smsg(x, axis=-1):
+                return orig_sm2(jax.lax.stop_gradient(x), axis=axis)
+
+            pm.jax.nn.softmax = smsg
+            notes.append("stop_gradient into the flow softmax")
         else:
             raise SystemExit(f"unknown ablation: {name}")
     return notes
@@ -116,6 +173,8 @@ def main():
                     help="comma list: f32_knn_gather,sg_edge_gather,sg_var,"
                          "f32_softmax")
     ap.add_argument("--debug_nans", action="store_true")
+    ap.add_argument("--dump_hlo", default="",
+                    help="write the optimized grad-step HLO to this path")
     args = ap.parse_args()
 
     import jax
@@ -189,6 +248,12 @@ def main():
 
     import optax
     step_fn = jax.jit(loss_and_grads)
+    if args.dump_hlo:
+        txt = (jax.jit(loss_and_grads)
+               .lower(params, batch_stats).compile().as_text())
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"wrote optimized HLO ({len(txt)} bytes) to {args.dump_hlo}")
     opt_state = opt.init(state.params)
     params, batch_stats = state.params, state.batch_stats
     upd = jax.jit(lambda g, s, p: opt.update(g, s, p))
