@@ -381,9 +381,14 @@ class PointMVSNet(nn.Module):
         ch = int(height * self.coarse_img_scale)
         cw = int(width * self.coarse_img_scale)
         coarse_imgs = _resize_views(images, ch, cw)
-        feats = self.img_conv(coarse_imgs.reshape(b * v, ch, cw, 3), train)["conv2"]
-        fh, fw = feats.shape[1], feats.shape[2]
-        feats = feats.reshape(b, v, fh, fw, -1)
+        # the shared CNN emits the whole pyramid; keep it so an eval flow
+        # iteration at the same scale (0.5 matches coarse_img_scale at the
+        # standard TEST.IMG_SCALES) reuses it instead of re-running the
+        # 5-view ImageConv — exact (same module/params/inputs; eval BN has
+        # no stats side-effects, so only the eval path shares)
+        coarse_pyr = self._pyramid(coarse_imgs, train)
+        feats = coarse_pyr["conv2"]                           # (B, V, fh, fw, C)
+        fh, fw = feats.shape[2], feats.shape[3]
         cams_feat = scale_cams(cams, fw / width, fh / height)  # stays fp32
 
         d_min, d_int, _, _ = cam_depth_range(cams[:, 0])
@@ -421,8 +426,11 @@ class PointMVSNet(nn.Module):
         cur = coarse_depth
         for it, (s, inter_s) in enumerate(zip(img_scales, inter_scales)):
             th, tw = int(height * s), int(width * s)
-            imgs_s = _resize_views(images, th, tw)
-            pyr = self._pyramid(imgs_s, train)
+            if not train and (th, tw) == (ch, cw):
+                pyr = coarse_pyr
+            else:
+                imgs_s = _resize_views(images, th, tw)
+                pyr = self._pyramid(imgs_s, train)
             levels = [pyr["conv0"], pyr["conv1"], pyr["conv2"]]
             cams_levels = [
                 scale_cams(cams, lvl.shape[3] / width, lvl.shape[2] / height)
