@@ -148,8 +148,39 @@ def measure_train_step(batch_size=1, iters=8, with_stages=False):
     return out
 
 
+def _device_watchdog(timeout_s: float = 300.0):
+    """Fail fast (valid JSON line + exit) if device init hangs.
+
+    The axon tunnel's claim leg retries forever when the relay endpoint is
+    down (observed 2026-08-17: >5 h outage, ``jax.devices()`` blocked in a
+    sleep loop) — without this guard the driver's bench run would hang
+    instead of recording a diagnosable failure."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "dtu_eval_depth_maps_per_sec_per_chip_640x512_V5_D96_3flow",
+                "value": 0.0,
+                "unit": "depth_maps/sec/chip",
+                "vs_baseline": 0.0,
+                "error": f"device init exceeded {timeout_s:.0f}s "
+                         f"(TPU tunnel unreachable?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
     import jax
+
+    init_done = _device_watchdog()
+    jax.devices()                       # blocks here if the tunnel is dead
+    init_done.set()
 
     from pointmvsnet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
