@@ -175,12 +175,25 @@ def _device_watchdog(timeout_s: float = 300.0):
     return done
 
 
+def _progress(msg: str) -> None:
+    """Timestamped progress note to stderr (the JSON contract owns stdout).
+
+    Remote-TPU compiles through the tunnel cost 1-10 min each; without
+    these marks a slow compile is indistinguishable from a hang."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main():
     import jax
 
     init_done = _device_watchdog()
     jax.devices()                       # blocks here if the tunnel is dead
     init_done.set()
+    _progress("device up")
 
     from pointmvsnet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -192,63 +205,93 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), *make_inputs(1, 2, 64, 64, 8),
                            is_flow=True, img_scales=(0.25,),
                            inter_scales=(0.75,), num_virtual_plane=8)
+    _progress("model init done")
 
     # headline: paper-eval config (V=5, D=96, full-res output)
     b, v, h, w, d = 1, 5, 512, 640, 96
     images, cams = make_inputs(b, v, h, w, d)
     kwargs = dict(is_flow=True, img_scales=img_scales,
                   inter_scales=inter_scales, num_virtual_plane=d)
+    _progress("headline compile+measure start")
     maps_per_sec, latency = measure(model, variables, images, cams, kwargs)
+    _progress(f"headline done: {maps_per_sec:.3f} maps/s")
 
-    if os.environ.get("BENCH_DETAILS"):
-        details = {"headline_latency_s": latency,
-                   "baseline_source": BASELINE_SOURCE}
-        # north-star stage decomposition at the headline config
-        from pointmvsnet_tpu.utils.profiler import stage_latencies
-        details["stages_s"] = stage_latencies(
-            model, variables, images, cams, img_scales, inter_scales, d)
-        # secondary: the train-shape config (V=3, D=48) at full-res output
-        im3, cm3 = make_inputs(1, 3, h, w, 48)
-        kw3 = dict(kwargs, num_virtual_plane=48)
-        mps3, lat3 = measure(model, variables, im3, cm3, kw3)
-        details["V3_D48_fullres"] = {"maps_per_sec": mps3, "latency_s": lat3}
-        # batched multi-scan eval (BASELINE config #4): two ref views per
-        # step through the same jit program — the eval engine's batched
-        # path on one chip (a data mesh spreads the same batch across chips)
-        try:
-            imb, cmb = make_inputs(2, v, h, w, d)
-            mpsb, latb = measure(model, variables, imb, cmb, kwargs, iters=8)
-            details["V5_D96_batch2"] = {"maps_per_sec": mpsb,
-                                        "latency_s_per_batch": latb}
-        except Exception as e:  # e.g. HBM exhaustion — report, don't fail
-            details["V5_D96_batch2"] = {"error": f"{type(e).__name__}"}
-        # training throughput at the reference train config (V=3, D=48,
-        # 640x512 inputs, scales 0.25/0.5, masked loss, RMSprop)
-        try:
-            details["train_step"] = measure_train_step(with_stages=True)
-        except Exception as e:
-            details["train_step"] = {"error": f"{type(e).__name__}"}
-        with open("BENCH_DETAILS.json", "w") as f:
-            json.dump(details, f, indent=1)
-
+    # Print the contract line FIRST: the details section below recompiles
+    # several large programs (stage profiler, V3/D48, batch2, train step) and
+    # can take tens of minutes on a cold compile cache — the driver must get
+    # its JSON even if it times this process out mid-details.
+    global _JSON_EMITTED
+    _JSON_EMITTED = True
     print(json.dumps({
         "metric": "dtu_eval_depth_maps_per_sec_per_chip_640x512_V5_D96_3flow",
         "value": round(maps_per_sec, 4),
         "unit": "depth_maps/sec/chip",
         "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC, 3),
         "baseline_source": "paper ~3s/view (1080Ti class); see BASELINE.md",
-    }))
+    }), flush=True)
 
+    if os.environ.get("BENCH_DETAILS"):
+        details = {"headline_latency_s": latency,
+                   "baseline_source": BASELINE_SOURCE}
+
+        def _flush_details():
+            with open("BENCH_DETAILS.json", "w") as f:
+                json.dump(details, f, indent=1)
+
+        _flush_details()  # partial artifacts beat none if we're timed out
+        # north-star stage decomposition at the headline config
+        _progress("stage profile start")
+        from pointmvsnet_tpu.utils.profiler import stage_latencies
+        details["stages_s"] = stage_latencies(
+            model, variables, images, cams, img_scales, inter_scales, d)
+        _flush_details()
+        # secondary: the train-shape config (V=3, D=48) at full-res output
+        _progress("V3_D48 start")
+        im3, cm3 = make_inputs(1, 3, h, w, 48)
+        kw3 = dict(kwargs, num_virtual_plane=48)
+        mps3, lat3 = measure(model, variables, im3, cm3, kw3)
+        details["V3_D48_fullres"] = {"maps_per_sec": mps3, "latency_s": lat3}
+        _flush_details()
+        # batched multi-scan eval (BASELINE config #4): two ref views per
+        # step through the same jit program — the eval engine's batched
+        # path on one chip (a data mesh spreads the same batch across chips)
+        try:
+            _progress("batch2 start")
+            imb, cmb = make_inputs(2, v, h, w, d)
+            mpsb, latb = measure(model, variables, imb, cmb, kwargs, iters=8)
+            details["V5_D96_batch2"] = {"maps_per_sec": mpsb,
+                                        "latency_s_per_batch": latb}
+        except Exception as e:  # e.g. HBM exhaustion — report, don't fail
+            details["V5_D96_batch2"] = {"error": f"{type(e).__name__}"}
+        _flush_details()
+        # training throughput at the reference train config (V=3, D=48,
+        # 640x512 inputs, scales 0.25/0.5, masked loss, RMSprop)
+        try:
+            _progress("train_step start")
+            details["train_step"] = measure_train_step(with_stages=True)
+        except Exception as e:
+            details["train_step"] = {"error": f"{type(e).__name__}"}
+        _flush_details()
+        _progress("details done")
+
+
+_JSON_EMITTED = False
 
 if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line
-        print(json.dumps({
-            "metric": "dtu_eval_depth_maps_per_sec_per_chip_640x512_V5_D96_3flow",
-            "value": 0.0,
-            "unit": "depth_maps/sec/chip",
-            "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}"[:300],
-        }))
+        if not _JSON_EMITTED:  # a details-phase failure after the contract
+            #                    line printed must not emit a second line
+            print(json.dumps({
+                "metric": ("dtu_eval_depth_maps_per_sec_per_chip"
+                           "_640x512_V5_D96_3flow"),
+                "value": 0.0,
+                "unit": "depth_maps/sec/chip",
+                "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }))
+        else:
+            _progress(f"details failed after headline: "
+                      f"{type(e).__name__}: {e}"[:300])
         sys.exit(0)
