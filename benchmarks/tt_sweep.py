@@ -5,11 +5,13 @@ across T&T-relevant input resolutions on the real chip and prints one
 JSON line per shape. The T&T release ships larger frames than DTU
 (1920×1056 class); `crop_mvs_input(base=64)` brings them to these grids.
 
-Measured 2026-08-17 (TPU v5e, 1 chip, bf16, 128-row bands):
+PRE-FIX measurement 2026-08-17 (TPU v5e, 1 chip, bf16, 128-row bands,
+BEFORE the band-local grouped-fetch tables landed — kept for comparison):
   640×512  → 0.375 s/map (the DTU headline config)
-  1280×1024 → 5.82 s/map (superlinear: the per-view patch tables reach
-  ~0.6 GB and the fetch gathers lose cache locality; band/view-parallel
-  meshes are the intended scaling path at this size)
+  1280×1024 → 5.82 s/map (superlinear: the per-view patch tables reached
+  ~0.6 GB and the fetch gathers lost cache locality)
+Post-fix numbers land in the round-4 measurement record (docs/STATUS.md);
+run this file on-chip to reproduce.
 """
 
 from __future__ import annotations
