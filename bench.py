@@ -60,6 +60,8 @@ def build(norm="bn", dtype="bfloat16", chunk_rows=128, fetch=None):
     if fetch is None:
         fetch = os.environ.get("BENCH_FETCH", cfg.MODEL.FLOW_FETCH)
     cfg.MODEL.FLOW_FETCH = fetch
+    if os.environ.get("BENCH_MOMENTS"):      # A/B the fused view moments
+        cfg.MODEL.FLOW_MOMENTS = True
     model, _, _ = build_model(cfg)
     return cfg, model
 
@@ -185,6 +187,17 @@ def _progress(msg: str) -> None:
 
 
 _T0 = time.perf_counter()
+_DETAILS = None  # live details dict, exposed so the crash handler can
+#                  record a details-phase error into the artifact
+
+
+def _flush_details(details) -> None:
+    """Atomically replace BENCH_DETAILS.json (ADVICE r3: a kill mid-'w'
+    write left a truncated file, worse than the stale one it replaced)."""
+    tmp = "BENCH_DETAILS.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(details, f, indent=1)
+    os.replace(tmp, "BENCH_DETAILS.json")
 
 
 def main():
@@ -231,47 +244,55 @@ def main():
     }), flush=True)
 
     if os.environ.get("BENCH_DETAILS"):
-        details = {"headline_latency_s": latency,
+        # complete=False until every section below has run — a timed-out
+        # partial flush must be distinguishable from a finished record
+        # (ADVICE r3: consumers KeyError'd on silently-missing sections).
+        details = {"complete": False,
+                   "headline_latency_s": latency,
                    "baseline_source": BASELINE_SOURCE}
+        globals()["_DETAILS"] = details
 
-        def _flush_details():
-            with open("BENCH_DETAILS.json", "w") as f:
-                json.dump(details, f, indent=1)
+        _flush_details(details)  # partial artifacts beat none if timed out
 
-        _flush_details()  # partial artifacts beat none if we're timed out
+        def section(name, fn):
+            """Run one details section; a failure is recorded, not fatal."""
+            _progress(f"{name} start")
+            try:
+                details[name] = fn()
+            except Exception as e:  # e.g. HBM exhaustion — report, move on
+                details[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            _flush_details(details)
+
         # north-star stage decomposition at the headline config
-        _progress("stage profile start")
-        from pointmvsnet_tpu.utils.profiler import stage_latencies
-        details["stages_s"] = stage_latencies(
-            model, variables, images, cams, img_scales, inter_scales, d)
-        _flush_details()
+        def _stages():
+            from pointmvsnet_tpu.utils.profiler import stage_latencies
+            return stage_latencies(model, variables, images, cams,
+                                   img_scales, inter_scales, d)
+        section("stages_s", _stages)
+
         # secondary: the train-shape config (V=3, D=48) at full-res output
-        _progress("V3_D48 start")
-        im3, cm3 = make_inputs(1, 3, h, w, 48)
-        kw3 = dict(kwargs, num_virtual_plane=48)
-        mps3, lat3 = measure(model, variables, im3, cm3, kw3)
-        details["V3_D48_fullres"] = {"maps_per_sec": mps3, "latency_s": lat3}
-        _flush_details()
+        def _v3d48():
+            im3, cm3 = make_inputs(1, 3, h, w, 48)
+            kw3 = dict(kwargs, num_virtual_plane=48)
+            mps3, lat3 = measure(model, variables, im3, cm3, kw3)
+            return {"maps_per_sec": mps3, "latency_s": lat3}
+        section("V3_D48_fullres", _v3d48)
+
         # batched multi-scan eval (BASELINE config #4): two ref views per
         # step through the same jit program — the eval engine's batched
         # path on one chip (a data mesh spreads the same batch across chips)
-        try:
-            _progress("batch2 start")
+        def _batch2():
             imb, cmb = make_inputs(2, v, h, w, d)
             mpsb, latb = measure(model, variables, imb, cmb, kwargs, iters=8)
-            details["V5_D96_batch2"] = {"maps_per_sec": mpsb,
-                                        "latency_s_per_batch": latb}
-        except Exception as e:  # e.g. HBM exhaustion — report, don't fail
-            details["V5_D96_batch2"] = {"error": f"{type(e).__name__}"}
-        _flush_details()
+            return {"maps_per_sec": mpsb, "latency_s_per_batch": latb}
+        section("V5_D96_batch2", _batch2)
+
         # training throughput at the reference train config (V=3, D=48,
         # 640x512 inputs, scales 0.25/0.5, masked loss, RMSprop)
-        try:
-            _progress("train_step start")
-            details["train_step"] = measure_train_step(with_stages=True)
-        except Exception as e:
-            details["train_step"] = {"error": f"{type(e).__name__}"}
-        _flush_details()
+        section("train_step", lambda: measure_train_step(with_stages=True))
+
+        details["complete"] = True
+        _flush_details(details)
         _progress("details done")
 
 
@@ -292,6 +313,16 @@ if __name__ == "__main__":
                 "error": f"{type(e).__name__}: {e}"[:300],
             }))
         else:
+            # headline already printed: record the details-phase failure
+            # INTO the artifact (ADVICE r3: a stderr-only note made a
+            # failed details run look clean to automated drivers)
             _progress(f"details failed after headline: "
                       f"{type(e).__name__}: {e}"[:300])
+            if _DETAILS is not None:
+                _DETAILS["complete"] = False
+                _DETAILS["details_error"] = f"{type(e).__name__}: {e}"[:300]
+                try:
+                    _flush_details(_DETAILS)
+                except Exception:
+                    pass
         sys.exit(0)

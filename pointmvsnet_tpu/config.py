@@ -242,6 +242,13 @@ def get_default_cfg() -> CfgNode:
                                              # (slab-matmul gather, exact
                                              # per-view fallback) | "take"
                                              # (hardware row gather)
+    _C.MODEL.FLOW_MOMENTS = False            # fuse the view-variance moments
+                                             # into the fetch (per-view Σf/Σf²
+                                             # f32 accumulation — the stacked
+                                             # (V,G·N,ΣC) tensor never
+                                             # materializes; slightly MORE
+                                             # precise than the stacked bf16
+                                             # square-sum)
 
     # -- solver (reference `pointmvsnet/utils/solver.py`) ----------------
     _C.SOLVER = CfgNode()

@@ -59,6 +59,7 @@ def build_pointmvsnet(cfg, band_mesh=None,
         view_mesh=view_mesh,
         flow_fetch=cfg.MODEL.FLOW_FETCH,
         coarse_fetch=cfg.MODEL.COARSE_FETCH,
+        flow_moments=cfg.MODEL.FLOW_MOMENTS,
     )
     loss_fn = functools.partial(pointmvsnet_loss,
                                 valid_threshold=cfg.MODEL.VALID_THRESHOLD

@@ -42,7 +42,11 @@ from pointmvsnet_tpu.ops.geometry import (
     pixel_grid,
     unproject_pixels,
 )
-from pointmvsnet_tpu.ops.grouped_fetch import fetch_features_grouped, pad_levels
+from pointmvsnet_tpu.ops.grouped_fetch import (
+    fetch_features_grouped,
+    grouped_miss_any,
+    pad_levels,
+)
 from pointmvsnet_tpu.ops.knn import window_knn_auto, window_knn_mask_auto
 from pointmvsnet_tpu.ops.sampling import (
     build_multilevel_table,
@@ -66,6 +70,31 @@ def _resize_views(images: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jax.image.resize(images, (b, v, h, w, c), method="bilinear")
 
 
+def hypothesis_points(cur_depth: jnp.ndarray, step: jnp.ndarray, m: int,
+                      ref_cam: jnp.ndarray,
+                      y_offset=0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hypothesis points along the ref viewing ray for a (band of a) depth
+    map: cur_depth (B, h, w) → (pts (B, G·N, 3) g-major, hyp_depth
+    (B, G, N)), G = 2m+1. Shared by PointFlowCore and the band-mesh
+    grouped-fetch miss precheck (PointFlow.__call__) — the precheck must
+    see the IDENTICAL points the core will fetch with."""
+    b, h, w = cur_depth.shape
+    g = 2 * m + 1
+    n = h * w
+    offsets = (jnp.arange(g, dtype=cur_depth.dtype) - m)      # (G,)
+    hyp_depth = (cur_depth.reshape(b, 1, n)
+                 + offsets[None, :, None] * step[:, None, None])  # (B, G, N)
+    pix = pixel_grid(h, w, dtype=cur_depth.dtype)             # (N, 3)
+    # y_offset may be a traced scalar under the band-parallel vmap —
+    # the add is unconditional (XLA folds the +0 of the unbanded case)
+    pix = pix + (jnp.asarray(y_offset, cur_depth.dtype)
+                 * jnp.asarray([0.0, 1.0, 0.0], cur_depth.dtype))
+    pts = unproject_pixels(pix[None, None], hyp_depth,
+                           cam_extrinsics(ref_cam)[:, None],
+                           cam_intrinsics(ref_cam)[:, None])  # (B, G, N, 3)
+    return pts.reshape(b, g * n, 3), hyp_depth
+
+
 class PointFlowCore(nn.Module):
     """One PointFlow evaluation over a (band of a) depth map: hypothesis
     points → multi-view variance features → windowed kNN → EdgeConvs →
@@ -80,6 +109,7 @@ class PointFlowCore(nn.Module):
     dtype: jnp.dtype = jnp.float32
     knn_impl: str = "auto"
     fetch_patch: int = 4
+    moments: bool = False
 
     @nn.compact
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
@@ -88,7 +118,8 @@ class PointFlowCore(nn.Module):
                  train: bool = False,
                  src_table: jnp.ndarray | None = None,
                  fetch: str = "table", band_rows: int = 0,
-                 src_padded: List[jnp.ndarray] | None = None) -> jnp.ndarray:
+                 src_padded: List[jnp.ndarray] | None = None,
+                 fetch_mode: str = "cond") -> jnp.ndarray:
         """cur_depth (B, h, w) is rows [y_offset, y_offset+h) of the full
         flow-resolution depth map (height ``full_h``, defaulting to h);
         ``src_table`` is the precomputed multilevel patch table over the
@@ -97,7 +128,11 @@ class PointFlowCore(nn.Module):
         point; "grouped" = one patch row per PIXEL, hypotheses
         reconstructed on the VPU — G× fewer gather rows); ``src_padded``
         / ``band_rows`` are the grouped path's hoisted padded pyramid and
-        band-local table height. Returns the refined band."""
+        band-local table height; ``fetch_mode`` ("cond" | "fast") guards
+        or skips the grouped path's per-view exact fallback ("fast" is
+        for vmapped callers that proved ``grouped_miss_any`` False —
+        under vmap a cond lowers to a both-branches select). Returns the
+        refined band."""
         b, h, w = cur_depth.shape
         g = 2 * self.m + 1
         n = h * w
@@ -105,17 +140,8 @@ class PointFlowCore(nn.Module):
 
         # --- hypothesis points along the ref viewing ray ------------------
         offsets = (jnp.arange(g, dtype=cur_depth.dtype) - self.m)  # (G,)
-        hyp_depth = (cur_depth.reshape(b, 1, n)
-                     + offsets[None, :, None] * step[:, None, None])  # (B, G, N)
-        pix = pixel_grid(h, w, dtype=cur_depth.dtype)                 # (N, 3)
-        # y_offset may be a traced scalar under the band-parallel vmap —
-        # the add is unconditional (XLA folds the +0 of the unbanded case)
-        pix = pix + (jnp.asarray(y_offset, cur_depth.dtype)
-                     * jnp.asarray([0.0, 1.0, 0.0], cur_depth.dtype))
-        pts = unproject_pixels(pix[None, None], hyp_depth,
-                               cam_extrinsics(ref_cam)[:, None],
-                               cam_intrinsics(ref_cam)[:, None])      # (B, G, N, 3)
-        x = pts.reshape(b, g * n, 3)
+        x, hyp_depth = hypothesis_points(cur_depth, step, self.m, ref_cam,
+                                         y_offset)
 
         # --- multi-scale multi-view point features (variance over views) --
         # Reference-view shortcut: view 0's projection of the hypothesis
@@ -139,17 +165,29 @@ class PointFlowCore(nn.Module):
         # views is per-channel, so concat-then-reduce == reduce-then-concat.
         # The grouped variant exploits x's g-major layout: the G hypotheses
         # of a pixel share one epipolar patch row (ops/grouped_fetch.py).
+        reduce = "moments" if self.moments else "stack"
         if fetch == "grouped":
             src = fetch_features_grouped(
                 [fmap[:, 1:] for fmap in levels], x, cams_levels[0][:, 1:],
                 groups=g, p0=self.fetch_patch, padded=src_padded,
-                band_rows=band_rows)                                  # (B,V-1,G·N,ΣC)
+                band_rows=band_rows, mode=fetch_mode,
+                reduce=reduce)                                        # (B,V-1,G·N,ΣC)
         else:
             src = fetch_features_multilevel(
                 [fmap[:, 1:] for fmap in levels], x,
-                cams_levels[0][:, 1:], table=src_table)               # (B,V-1,G·N,ΣC)
-        mean = (ref_all + jnp.sum(src, axis=1)) / nv
-        sq_mean = (jnp.square(ref_all) + jnp.sum(jnp.square(src), axis=1)) / nv
+                cams_levels[0][:, 1:], table=src_table,
+                reduce=reduce)                                        # (B,V-1,G·N,ΣC)
+        if self.moments:
+            # Σf / Σf² accumulated per view in f32 (never materializes the
+            # V-view stack; slightly MORE precise than the stacked bf16
+            # square-sum — intentional, MODEL.FLOW_MOMENTS)
+            s1, s2 = src
+            mean = (ref_all + s1) / nv
+            sq_mean = (jnp.square(ref_all) + s2) / nv
+        else:
+            mean = (ref_all + jnp.sum(src, axis=1)) / nv
+            sq_mean = (jnp.square(ref_all)
+                       + jnp.sum(jnp.square(src), axis=1)) / nv
         point_feat = sq_mean - jnp.square(mean)                       # (B, G·N, ΣC)
 
         # --- kNN graph over the structured hypothesis grid ----------------
@@ -222,6 +260,7 @@ class PointFlow(nn.Module):
     fetch_patch: int = 4       # grouped-fetch patch edge (560ch=1120B rows at
                                # p0=4/C=(8,16,32) — the widest flat-cost row)
     fetch_margin: int = 24     # extra band-local source rows beyond the band
+    moments: bool = False      # per-view Σf/Σf² accumulation (MODEL.FLOW_MOMENTS)
 
     def setup(self):
         core_cls = PointFlowCore
@@ -232,12 +271,13 @@ class PointFlow(nn.Module):
             # idx/mask — cheap to store, expensive to recompute); everything
             # else rematerializes as with the default nothing-saved policy.
             core_cls = nn.remat(
-                PointFlowCore, static_argnums=(6, 7, 8, 10, 11),
+                PointFlowCore, static_argnums=(6, 7, 8, 10, 11, 13),
                 policy=jax.checkpoint_policies.save_only_these_names("knn"))
         self.core = core_cls(self.edge_channels, self.flow_channels,
                              self.m, self.k, self.window, self.norm,
                              self.dtype, self.knn_impl,
-                             fetch_patch=self.fetch_patch)
+                             fetch_patch=self.fetch_patch,
+                             moments=self.moments)
 
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
                  ref_cam: jnp.ndarray, cur_depth: jnp.ndarray, step: jnp.ndarray,
@@ -246,15 +286,9 @@ class PointFlow(nn.Module):
         cr = self.chunk_rows
         fetch = ("grouped" if self.fetch == "grouped"
                  or (self.fetch == "auto" and not train) else "table")
-        if self.band_mesh is not None:
-            # under the band-parallel nn.vmap, grouped_fetch's per-view
-            # lax.cond lowers to a select that executes BOTH branches —
-            # the exact-gather fallback would run unconditionally and eat
-            # the win, so the mesh path keeps the table kernel
-            fetch = "table"
         if cr <= 0 or h <= cr + 16:  # too short to band (bs = cr + 2·halo)
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,
-                             0, h, train, None, fetch, 0, None)
+                             0, h, train, None, fetch, 0, None, "cond")
         if fetch == "grouped":
             # grouped path: hoist the padded pyramid (≈1.1× the feature
             # maps); each band builds its own band-local patch table over
@@ -299,15 +333,49 @@ class PointFlow(nn.Module):
             stacked = jnp.stack([cur_depth[:, lo:lo + bs] for lo in los])
             stacked = jax.lax.with_sharding_constraint(stacked, spec)
             lo_arr = jnp.asarray(los, jnp.int32)
-            out = nn.vmap(
-                lambda core, depth_b, lo_b: core(
-                    levels, cams_levels, ref_cam, depth_b, step, lo_b, h,
-                    train, src_table),
-                in_axes=(0, 0), out_axes=0,
-                variable_axes={"params": None, "batch_stats": None},
-                split_rngs={"params": False},
-            )(self.core, stacked, lo_arr)                  # (P, B, bs, w)
-            out = jax.lax.with_sharding_constraint(out, spec)
+
+            def run_bands(mdl, table_b, fetch_b, band_rows_b, padded_b,
+                          mode_b):
+                out = nn.vmap(
+                    lambda core, depth_b, lo_b: core(
+                        levels, cams_levels, ref_cam, depth_b, step, lo_b,
+                        h, train, table_b, fetch_b, band_rows_b, padded_b,
+                        mode_b),
+                    in_axes=(0, 0), out_axes=0,
+                    variable_axes={"params": None, "batch_stats": None},
+                    split_rngs={"params": False},
+                )(mdl.core, stacked, lo_arr)               # (P, B, bs, w)
+                return jax.lax.with_sharding_constraint(out, spec)
+
+            if fetch == "grouped":
+                # hoisted fallback decision (VERDICT r3 #4): under the band
+                # vmap the per-view lax.cond would lower to a both-branches
+                # select that eats the grouped win, so prove "no view
+                # misses" OUTSIDE the vmap with the projection-only
+                # precheck (same index math — ops/grouped_fetch.py
+                # ``_grouped_index``), then run the guard-free grouped fast
+                # path; a miss anywhere falls back to the exact table
+                # kernel for the WHOLE map (rare on real geometry —
+                # whole-map granularity is the price of composing the two).
+                def miss_one(depth_b, lo_b):
+                    x, _ = hypothesis_points(depth_b, step, self.m,
+                                             ref_cam, lo_b)
+                    return grouped_miss_any(
+                        [f[:, 1:] for f in levels], x,
+                        cams_levels[0][:, 1:], 2 * self.m + 1,
+                        p0=self.fetch_patch, band_rows=band_rows)
+                any_miss = jax.vmap(miss_one)(stacked, lo_arr).any()
+                out = nn.cond(
+                    any_miss,
+                    lambda mdl: run_bands(
+                        mdl,
+                        build_multilevel_table([f[:, 1:] for f in levels]),
+                        "table", 0, None, "cond"),
+                    lambda mdl: run_bands(mdl, None, "grouped", band_rows,
+                                          src_padded, "fast"),
+                    self)
+            else:
+                out = run_bands(self, src_table, "table", 0, None, "cond")
             bands = [out[i][:, y0 - lo: y0 - lo + cr]
                      for i, (y0, lo) in enumerate(zip(y0s, los))]
             return jnp.concatenate(bands, axis=1)
@@ -316,7 +384,7 @@ class PointFlow(nn.Module):
         for y0, lo in zip(y0s, los):
             band = self.core(levels, cams_levels, ref_cam,
                              cur_depth[:, lo:lo + bs], step, lo, h, train,
-                             src_table, fetch, band_rows, src_padded)
+                             src_table, fetch, band_rows, src_padded, "cond")
             bands.append(band[:, y0 - lo: y0 - lo + cr])
         return jnp.concatenate(bands, axis=1)
 
@@ -341,6 +409,7 @@ class PointMVSNet(nn.Module):
     view_mesh: object = None   # Mesh with a "view" axis → view-parallel cost
     flow_fetch: str = "table"  # "table" | "grouped" | "auto" (grouped at eval)
     coarse_fetch: str = "mxu"  # plane-sweep warp: "mxu" | "take"
+    flow_moments: bool = False  # fused per-view moment accumulation
 
     def setup(self):
         self.img_conv = ImageConv(self.img_base_channels, self.norm, self.dtype)
@@ -349,7 +418,8 @@ class PointMVSNet(nn.Module):
                                     self.flow_m, self.knn, self.knn_window,
                                     self.norm, self.dtype, self.knn_impl,
                                     self.flow_chunk_rows, self.remat,
-                                    self.band_mesh, fetch=self.flow_fetch)
+                                    self.band_mesh, fetch=self.flow_fetch,
+                                    moments=self.flow_moments)
 
     def _pyramid(self, images: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:
         """Run the shared 2D CNN over all views folded into batch."""

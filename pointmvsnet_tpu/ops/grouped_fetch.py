@@ -114,29 +114,18 @@ def _onehot_extract(rows: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
     return f00, f01, f10, f11
 
 
-def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
-                           cams: jnp.ndarray, groups: int, p0: int = 5,
-                           padded: Sequence[jnp.ndarray] | None = None,
-                           band_rows: int = 0, gather_impl: str = "mxu",
-                           gather_block: int = 512,
-                           gather_span: int = 1536) -> jnp.ndarray:
-    """Drop-in for ``fetch_features_multilevel`` when ``points`` is a
-    g-major stack of ``groups`` hypothesis sets over the same pixel grid
-    (points[g·N + n] = hypothesis g of pixel n) — PointFlow's layout.
-
-    levels: EXACT stride-2 pyramid [(B, V, h_l, w_l, C_l)]; cams at level-0
-    resolution; points (B, groups·N, 3); padded: optional hoisted
-    ``pad_levels(levels, p0)``; band_rows: > 0 builds the table over a
-    band_rows-cell vertical slice (band_rows ≡ 0 mod 4) instead of full
-    height. → (B, V, groups·N, ΣC_l) — same taps/masks/weights as the
-    multilevel path (equal to a few f32 ulps; see module docstring).
-    """
-    b, v, h0, w0, _ = levels[0].shape
+def _grouped_index(h0: int, w0: int, num_levels: int, points: jnp.ndarray,
+                   cams: jnp.ndarray, groups: int, p0: int, band_rows: int,
+                   gather_impl: str, gather_block: int, gather_span: int):
+    """Projection + patch-origin index math shared by the fetch and the
+    hoisted miss precheck (``grouped_miss_any``). Pure index arithmetic —
+    no feature reads — so it is cheap to run standalone and is the SINGLE
+    source of truth for the fallback decision (an out-of-band copy would
+    drift). Returns everything the fast/slow paths consume."""
+    b, v = cams.shape[0], cams.shape[1]
     n_all = points.shape[1]
     assert n_all % groups == 0
     n = n_all // groups
-    if padded is None:
-        padded = pad_levels(levels, p0)
     sc = h0 + 1 if band_rows <= 0 or band_rows >= h0 else band_rows + 1
     assert (sc - 1) % 4 == 0, f"band_rows must be 4-aligned, got {sc - 1}"
 
@@ -161,7 +150,7 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
     # straddles the border at the coarsest level L (i0>>L = −1, tap 0 valid),
     # and clip(i0, −1, ·)>>l = −1 = i0>>l there, so the clamped cell is the
     # TRUE coarse cell for every level where the masks are alive.
-    reach = 1 << (len(levels) - 1)
+    reach = 1 << (num_levels - 1)
     need = (gval & (gi0 >= -reach) & (gi0 <= w0 - 1)
             & (gj0 >= -reach) & (gj0 <= h0 - 1))
     i0c = jnp.clip(gi0, -1, w0 - 1)
@@ -186,13 +175,12 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
     else:
         r0 = jnp.zeros((b, v), jnp.int32)
         a = oj + 1
-    ps = patch_sizes(p0, len(levels))
     row_idx = jnp.clip(a, 0, sc - 1) * (w0 + 1) + (oi + 1)     # (B, V, N)
 
     # MXU slab gather (one-hot × slab matmul — ops/mxu_gather.py): exact
     # when every gather_block of consecutive pixels spans < gather_span
     # table rows (epipolar coherence). Blocks that straddle more fold into
-    # the per-view exact-fallback below, like patch overflows.
+    # the per-view exact-fallback, like patch overflows.
     n_rows_tab = sc * (w0 + 1)
     span_eff = min(gather_span, n_rows_tab)
     if gather_impl == "mxu":
@@ -209,11 +197,77 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
                      >= span_eff).any(axis=-1)                  # (B, V)
         miss = miss | span_miss[..., None, None]
     miss_v = jnp.any(miss.reshape(b, v, -1), axis=-1).any(axis=0)  # (V,)
+    return dict(uv=uv, u=u, w_v=w_v, valid=valid, gval=gval,
+                gi0=gi0, gj0=gj0, i0c=i0c, j0c=j0c, oi=oi, oj=oj,
+                di=di, dj=dj, r0=r0, row_idx=row_idx, miss_v=miss_v,
+                sc=sc, span_eff=span_eff, n=n)
+
+
+def grouped_miss_any(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
+                     cams: jnp.ndarray, groups: int, p0: int = 5,
+                     band_rows: int = 0, gather_impl: str = "mxu",
+                     gather_block: int = 512,
+                     gather_span: int = 1536) -> jnp.ndarray:
+    """Scalar bool: would ANY view of ``fetch_features_grouped`` (called
+    with the same parameters) take the exact-gather fallback? Projection +
+    index math only — no feature reads — so it can be hoisted OUTSIDE a
+    vmapped/banded region where ``lax.cond`` would lower to a
+    both-branches select (the grouped-fetch × band-mesh composition,
+    VERDICT r3 #4). ``mode="fast"`` is exact iff this returns False."""
+    h0, w0 = levels[0].shape[2], levels[0].shape[3]
+    idx = _grouped_index(h0, w0, len(levels), points, cams, groups, p0,
+                         band_rows, gather_impl, gather_block, gather_span)
+    return idx["miss_v"].any()
+
+
+def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
+                           cams: jnp.ndarray, groups: int, p0: int = 5,
+                           padded: Sequence[jnp.ndarray] | None = None,
+                           band_rows: int = 0, gather_impl: str = "mxu",
+                           gather_block: int = 512,
+                           gather_span: int = 1536,
+                           mode: str = "cond",
+                           reduce: str = "stack"):
+    """Drop-in for ``fetch_features_multilevel`` when ``points`` is a
+    g-major stack of ``groups`` hypothesis sets over the same pixel grid
+    (points[g·N + n] = hypothesis g of pixel n) — PointFlow's layout.
+
+    levels: EXACT stride-2 pyramid [(B, V, h_l, w_l, C_l)]; cams at level-0
+    resolution; points (B, groups·N, 3); padded: optional hoisted
+    ``pad_levels(levels, p0)``; band_rows: > 0 builds the table over a
+    band_rows-cell vertical slice (band_rows ≡ 0 mod 4) instead of full
+    height. ``mode``: "cond" guards each view's fast path with a
+    ``lax.cond`` fallback to the exact per-level gather; "fast" skips the
+    guard (exact ONLY when the caller proved ``grouped_miss_any`` is False
+    — required under vmap, where cond lowers to a both-branches select).
+    → (B, V, groups·N, ΣC_l) — same taps/masks/weights as the multilevel
+    path (equal to a few f32 ulps; see module docstring).
+
+    ``reduce="moments"`` instead returns ``(Σ_v f, Σ_v f²)``, each
+    (B, groups·N, ΣC_l) float32, accumulated view-by-view in view order —
+    the variance aggregation's reduction, without ever materializing the
+    (V, G·N, ΣC) stacked tensor (PointFlow only consumes the two moments;
+    the per-view accumulate bounds peak HBM at ONE view's features).
+    """
+    b, v, h0, w0, _ = levels[0].shape
+    n_all = points.shape[1]
+    n = n_all // groups
+    if padded is None:
+        padded = pad_levels(levels, p0)
+    ix = _grouped_index(h0, w0, len(levels), points, cams, groups, p0,
+                        band_rows, gather_impl, gather_block, gather_span)
+    uv, u, w_v, valid = ix["uv"], ix["u"], ix["w_v"], ix["valid"]
+    gval, gi0, gj0 = ix["gval"], ix["gi0"], ix["gj0"]
+    i0c, j0c, oi, oj = ix["i0c"], ix["j0c"], ix["oi"], ix["oj"]
+    r0, row_idx, miss_v = ix["r0"], ix["row_idx"], ix["miss_v"]
+    sc, span_eff = ix["sc"], ix["span_eff"]
+    ps = patch_sizes(p0, len(levels))
     import os
     if os.environ.get("GROUPED_FETCH_DEBUG"):      # trace-time gate
         jax.debug.print(
             "grouped_fetch h0={h} miss_v={m} patch_overflow_frac={p:.5f}",
-            h=h0, m=miss_v, p=((di > p0 - 2) | (dj > p0 - 2)).mean())
+            h=h0, m=miss_v,
+            p=((ix["di"] > p0 - 2) | (ix["dj"] > p0 - 2)).mean())
 
     def fast_view(vi):
         table = jax.vmap(
@@ -269,9 +323,20 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
                                         valid=valid[:, vi]))
         return jnp.concatenate(outs, axis=-1)
 
-    per_view = []
-    for vi in range(v):
-        per_view.append(lax.cond(miss_v[vi],
-                                 lambda vi=vi: slow_view(vi),
-                                 lambda vi=vi: fast_view(vi)))
-    return jnp.stack(per_view, axis=1)
+    def one_view(vi):
+        if mode == "fast":
+            return fast_view(vi)
+        return lax.cond(miss_v[vi],
+                        lambda vi=vi: slow_view(vi),
+                        lambda vi=vi: fast_view(vi))
+
+    if reduce == "moments":
+        s1 = jnp.zeros((b, n_all, sum(f.shape[-1] for f in levels)),
+                       jnp.float32)
+        s2 = s1
+        for vi in range(v):
+            f = one_view(vi).astype(jnp.float32)
+            s1 = s1 + f
+            s2 = s2 + jnp.square(f)
+        return s1, s2
+    return jnp.stack([one_view(vi) for vi in range(v)], axis=1)

@@ -177,7 +177,8 @@ def build_multilevel_table(levels: list) -> jnp.ndarray:
 
 def fetch_features_multilevel(levels: list, points: jnp.ndarray,
                               cams: jnp.ndarray,
-                              table: jnp.ndarray | None = None) -> jnp.ndarray:
+                              table: jnp.ndarray | None = None,
+                              reduce: str = "stack"):
     """Multi-scale point-feature fetch with ONE gather for all levels.
 
     levels: list of (B, V, h_l, w_l, C_l) feature maps forming an EXACT
@@ -200,6 +201,10 @@ def fetch_features_multilevel(levels: list, points: jnp.ndarray,
     so 1 wide gather ≈ 3× cheaper than 3 narrow ones; this is the
     dominant cost of the full-res PointFlow iteration (ablation: 309 ms
     of the 429 ms flow@1.0 marginal before this op existed).
+
+    ``reduce="moments"`` → ``(Σ_v f, Σ_v f²)``, each (B, N, ΣC_l) float32,
+    gathered and accumulated view-by-view so the (V, N, 4ΣC) row tensor
+    never materializes (the variance aggregation needs only the moments).
     """
     b, v, h0, w0, _ = levels[0].shape
     if table is None:
@@ -215,34 +220,51 @@ def fetch_features_multilevel(levels: list, points: jnp.ndarray,
     i0 = jnp.floor(u).astype(jnp.int32)
     j0 = jnp.floor(w_v).astype(jnp.int32)
     idx = (jnp.clip(j0 + 1, 0, h0) * (w0 + 1) + jnp.clip(i0 + 1, 0, w0))
+
+    def combine(rows, u_, wv_, i0_, j0_, valid_):
+        """Per-level lerp + border masks (VPU) over gathered rows
+        (..., N, 4ΣC) with matching leading dims on the coords."""
+        outs = []
+        off = 0
+        for l, f in enumerate(levels):
+            c = f.shape[-1]
+            hl, wl = f.shape[2], f.shape[3]
+            scale = 1.0 / (1 << l)
+            u_l, v_l = u_ * scale, wv_ * scale                # exact in fp32
+            i0l, j0l = i0_ >> l, j0_ >> l
+            du = (u_l - i0l.astype(jnp.float32))[..., None]
+            dv = (v_l - j0l.astype(jnp.float32))[..., None]
+
+            def inside(ui, vi):
+                return ((ui >= 0) & (ui <= wl - 1)
+                        & (vi >= 0) & (vi <= hl - 1))[..., None]
+
+            g = rows[..., off:off + 4 * c]
+            f00, f01 = g[..., 0 * c:1 * c], g[..., 1 * c:2 * c]
+            f10, f11 = g[..., 2 * c:3 * c], g[..., 3 * c:4 * c]
+            out = (jnp.where(inside(i0l, j0l), f00, 0) * ((1 - du) * (1 - dv))
+                   + jnp.where(inside(i0l + 1, j0l), f01, 0) * (du * (1 - dv))
+                   + jnp.where(inside(i0l, j0l + 1), f10, 0) * ((1 - du) * dv)
+                   + jnp.where(inside(i0l + 1, j0l + 1), f11, 0) * (du * dv))
+            outs.append(jnp.where(valid_, out, 0))
+            off += 4 * c
+        return jnp.concatenate(outs, axis=-1)
+
+    if reduce == "moments":
+        n = points.shape[1]
+        s1 = jnp.zeros((b, n, sum(f.shape[-1] for f in levels)), jnp.float32)
+        s2 = s1
+        for vi in range(v):
+            rows_v = jnp.take_along_axis(table[:, vi], idx[:, vi, :, None],
+                                         axis=-2)             # (B, N, 4ΣC)
+            f_v = combine(rows_v, u[:, vi], w_v[:, vi], i0[:, vi], j0[:, vi],
+                          valid[:, vi]).astype(jnp.float32)
+            s1 = s1 + f_v
+            s2 = s2 + jnp.square(f_v)
+        return s1, s2
+
     rows = jnp.take_along_axis(table, idx[..., None], axis=-2)  # (B,V,N,4ΣC)
-
-    # --- per-level lerp + border masks (VPU) ------------------------------
-    outs = []
-    off = 0
-    for l, f in enumerate(levels):
-        c = f.shape[-1]
-        hl, wl = f.shape[2], f.shape[3]
-        scale = 1.0 / (1 << l)
-        u_l, v_l = u * scale, w_v * scale                      # exact in fp32
-        i0l, j0l = i0 >> l, j0 >> l
-        du = (u_l - i0l.astype(jnp.float32))[..., None]
-        dv = (v_l - j0l.astype(jnp.float32))[..., None]
-
-        def inside(ui, vi):
-            return ((ui >= 0) & (ui <= wl - 1)
-                    & (vi >= 0) & (vi <= hl - 1))[..., None]
-
-        g = rows[..., off:off + 4 * c]
-        f00, f01 = g[..., 0 * c:1 * c], g[..., 1 * c:2 * c]
-        f10, f11 = g[..., 2 * c:3 * c], g[..., 3 * c:4 * c]
-        out = (jnp.where(inside(i0l, j0l), f00, 0) * ((1 - du) * (1 - dv))
-               + jnp.where(inside(i0l + 1, j0l), f01, 0) * (du * (1 - dv))
-               + jnp.where(inside(i0l, j0l + 1), f10, 0) * ((1 - du) * dv)
-               + jnp.where(inside(i0l + 1, j0l + 1), f11, 0) * (du * dv))
-        outs.append(jnp.where(valid, out, 0))
-        off += 4 * c
-    return jnp.concatenate(outs, axis=-1)
+    return combine(rows, u, w_v, i0, j0, valid)
 
 
 def fetch_features(feats: jnp.ndarray, points: jnp.ndarray,

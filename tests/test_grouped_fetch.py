@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from pointmvsnet_tpu.ops import grouped_fetch
 from pointmvsnet_tpu.ops.grouped_fetch import (
     fetch_features_grouped,
+    grouped_miss_any,
     pad_levels,
     patch_sizes,
 )
@@ -135,6 +136,92 @@ def test_grouped_band_sliced_fallback(rng):
     got = fetch_features_grouped(levels, pts, cams, groups=4, p0=5,
                                  band_rows=4)
     assert_feats_close(got, ref)
+
+
+def test_miss_precheck_consistency(rng):
+    """``grouped_miss_any`` is the hoisted fallback decision (same index
+    math as the fetch): False on tight spans, True on patch overflow, and
+    True when a 4-row table slice can't cover full-height projections."""
+    levels, cams = make_pyramid(rng)
+    tight = make_points(rng, 1, 64, groups=5, spread=0.002)
+    assert not bool(grouped_miss_any(levels, tight, cams, groups=5, p0=4))
+    wide = make_points(rng, 1, 32, groups=5, spread=0.8)
+    assert bool(grouped_miss_any(levels, wide, cams, groups=5, p0=4))
+    lv32, cams32 = make_pyramid(rng, h=32, w=16)
+    spread_pts = make_points(rng, 1, 64, groups=4, spread=0.002)
+    assert bool(grouped_miss_any(lv32, spread_pts, cams32, groups=4, p0=5,
+                                 band_rows=4))
+
+
+def test_fast_mode_matches_when_no_miss(rng, monkeypatch):
+    """mode="fast" (guard-free, for vmapped callers) is exact when the
+    precheck says no view misses — and never builds the slow path at all."""
+    monkeypatch.setattr(
+        grouped_fetch, "bilinear_sample",
+        lambda feat, uv, valid=None: (_ for _ in ()).throw(
+            AssertionError("slow path traced under mode='fast'")))
+    levels, cams = make_pyramid(rng)
+    pts = make_points(rng, 1, 64, groups=5, spread=0.002)
+    assert not bool(grouped_miss_any(levels, pts, cams, groups=5, p0=4))
+    monkeypatch.undo()
+    ref = fetch_features_multilevel(levels, pts, cams)
+    monkeypatch.setattr(
+        grouped_fetch, "bilinear_sample",
+        lambda feat, uv, valid=None: (_ for _ in ()).throw(
+            AssertionError("slow path traced under mode='fast'")))
+    got = fetch_features_grouped(levels, pts, cams, groups=5, p0=4,
+                                 mode="fast")
+    assert_feats_close(got, ref)
+
+
+def test_fast_mode_under_vmap(rng):
+    """The band-mesh composition shape: vmap the fast mode over a stacked
+    band axis (where lax.cond would lower to a both-branches select) and
+    match per-band serial cond-mode calls."""
+    import jax
+
+    levels, cams = make_pyramid(rng)
+    bands = jnp.stack([make_points(rng, 1, 32, groups=5, spread=0.002)
+                       for _ in range(4)])                   # (P, B, G·N, 3)
+    for p in bands:
+        assert not bool(grouped_miss_any(levels, p, cams, groups=5, p0=4))
+    got = jax.vmap(lambda p: fetch_features_grouped(
+        levels, p, cams, groups=5, p0=4, mode="fast"))(bands)
+    for i in range(bands.shape[0]):
+        ref = fetch_features_multilevel(levels, bands[i], cams)
+        # vmap changes XLA's fusion/FMA-contraction order in the lerp, so
+        # the bound is a-few-ulps rather than the serial path's 1e-6
+        np.testing.assert_allclose(np.asarray(got[i], np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_moments_reduce_matches_stack(rng):
+    """reduce="moments" (per-view f32 Σf/Σf² accumulation) equals the
+    stacked tensor's view reduction — for BOTH fetch engines."""
+    from pointmvsnet_tpu.ops.sampling import (
+        fetch_features_multilevel as fml,
+    )
+
+    levels, cams = make_pyramid(rng)
+    pts = make_points(rng, 1, 64, groups=5, spread=0.002)
+    for name, stack_fn, mom_fn in [
+        ("grouped",
+         lambda: fetch_features_grouped(levels, pts, cams, groups=5, p0=4),
+         lambda: fetch_features_grouped(levels, pts, cams, groups=5, p0=4,
+                                        reduce="moments")),
+        ("multilevel",
+         lambda: fml(levels, pts, cams),
+         lambda: fml(levels, pts, cams, reduce="moments")),
+    ]:
+        src = np.asarray(stack_fn(), np.float32)
+        s1, s2 = mom_fn()
+        assert s1.dtype == jnp.float32 and s2.dtype == jnp.float32, name
+        np.testing.assert_allclose(np.asarray(s1), src.sum(axis=1),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+        np.testing.assert_allclose(np.asarray(s2),
+                                   np.square(src).sum(axis=1),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
 
 
 def test_grouped_bf16_levels(rng):

@@ -103,6 +103,22 @@ def test_forward_depth_in_range(fwd):
     assert (prob >= 0).all() and (prob <= 1 + 1e-5).all()
 
 
+def test_flow_moments_matches_stacked(fwd):
+    """MODEL.FLOW_MOMENTS (fused per-view Σf/Σf² in the fetch) reproduces
+    the stacked-tensor variance path — f32 model, so the only difference
+    is reduction/fusion order (ulp-level)."""
+    cfg, model, variables, images, cams, _, preds = fwd
+    cfg_m = tiny_cfg()
+    cfg_m.MODEL.FLOW_MOMENTS = True
+    model_m, _, _ = build_model(cfg_m)
+    got = model_m.apply(variables, images, cams, is_flow=True,
+                        img_scales=(0.25, 0.5), inter_scales=(0.75, 0.375),
+                        num_virtual_plane=D, train=False)
+    for k in ("coarse_depth_map", "flow1", "flow2"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(preds[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_coarse_only_forward(fwd):
     cfg, model, variables, images, cams, _, _ = fwd
     preds = model.apply(variables, images, cams, is_flow=False,

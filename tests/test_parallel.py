@@ -118,17 +118,24 @@ def test_spmd_batchnorm_matches_single_device(rng):
                                    err_msg=jax.tree_util.keystr(path))
 
 
-def test_band_parallel_flow_matches_serial(rng):
+import pytest
+
+
+@pytest.mark.parametrize("fetch", ["table", "grouped"])
+def test_band_parallel_flow_matches_serial(rng, fetch):
     """Band-parallel PointFlow (flow row bands vmapped + sharded over the
     mesh "band" axis) must reproduce the serial banded forward exactly —
     the bands are independent given the replicated pyramid, and the halo
-    covers the EdgeConv receptive field."""
+    covers the EdgeConv receptive field. Parametrized over the fetch
+    kernel: "grouped" exercises the hoisted miss precheck + guard-free
+    fast path under the band vmap (VERDICT r3 #4 composition)."""
     from pointmvsnet_tpu.parallel import make_mesh_2d
 
     h, w = 64, 64
     cfg = tiny_cfg()
     cfg.MODEL.NORM = "bn"              # banding is exact under eval BN
     cfg.MODEL.FLOW_CHUNK_ROWS = 16     # 4 bands at the flow resolution
+    cfg.MODEL.FLOW_FETCH = fetch
     kw = dict(KW, img_scales=(1.0,), inter_scales=(0.75,))
     batch = make_batch(rng)
 
