@@ -22,7 +22,7 @@ run() { # run <name> <timeout_s> <cmd...>
 
 want() { [ $# -eq 0 ] && return 0; for s in "$@"; do [ "$s" = "$STEP" ] && return 0; done; return 1; }
 
-STEP=bench;   want "$@" && run bench        1200 env BENCH_DETAILS=1 python bench.py
+STEP=bench;   want "$@" && run bench        4200 env BENCH_DETAILS=1 python bench.py
 STEP=flow3;   want "$@" && run flow3_ablate 2400 python benchmarks/flow3_ablate.py
 STEP=tt;      want "$@" && run tt_sweep     2400 python benchmarks/tt_sweep.py
 STEP=train;   want "$@" && run train_fetch  1800 python benchmarks/train_fetch_bench.py

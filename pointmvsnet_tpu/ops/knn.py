@@ -93,9 +93,18 @@ def window_knn(points: jnp.ndarray, grid_shape: Tuple[int, int, int], k: int,
     # Distances query-hypothesis-wise: (B, G, C, H, W)
     d2 = jnp.sum(jnp.square(pts[:, :, None] - cand[:, None]), axis=-1)
     d2 = jnp.where((cand_idx < 0)[None, None], _BIG, d2)
-    # top-k smallest along candidate axis
+    # top-k smallest along the candidate axis, ordered by the same packed
+    # key the Pallas kernel minimizes (ops/pallas/knn.py): candidate id in
+    # the low 7 mantissa bits of the non-negative-f32 bit pattern — ties
+    # and sub-quantum distance differences resolve to the lower candidate
+    # id identically in both implementations.
     d2 = jnp.moveaxis(d2, 2, -1)                             # (B, G, H, W, C)
-    _, nn = jax.lax.top_k(-d2, k)                            # (B, G, H, W, k)
+    if c <= 128:
+        key = ((jax.lax.bitcast_convert_type(d2, jnp.int32)
+                & jnp.int32(~0x7F)) | jnp.arange(c, dtype=jnp.int32))
+        _, nn = jax.lax.top_k(-key, k)                       # (B, G, H, W, k)
+    else:  # window too large to pack ids (test/debug-only configs):
+        _, nn = jax.lax.top_k(-d2, k)                        # plain ordering
     flat_nn = jnp.take_along_axis(
         jnp.broadcast_to(cand_idx.transpose(1, 2, 0)[None, None], (b, g, h, w, c)),
         nn, axis=-1)

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = 3.0e38  # beyond any real squared distance incl. sentinel padding
+# Selected keys are masked out with int32 max (valid keys are positive-f32
+# bit patterns — MSB clear — so they always compare smaller).
 
 
 def _kernel(shifts_ref, out_ref, mask_ref, dist, *, g: int, k: int,
@@ -45,7 +46,6 @@ def _kernel(shifts_ref, out_ref, mask_ref, dist, *, g: int, k: int,
     ncand = g * nsh
     nw = -(-ncand // 32)  # uint32 words per selection bitmask
 
-    cand_iota = jax.lax.broadcasted_iota(jnp.int32, (ncand, th, w_pad), 0)
     ty = jax.lax.broadcasted_iota(jnp.int32, (th, w_pad), 0)
     tx = jax.lax.broadcasted_iota(jnp.int32, (th, w_pad), 1)
     y_abs = ty + i * th
@@ -54,7 +54,15 @@ def _kernel(shifts_ref, out_ref, mask_ref, dist, *, g: int, k: int,
     # (G·G·win² distance blocks + G·k select rounds ≈ 6k vector ops) takes
     # Mosaic minutes to compile for identical runtime.
     for gq in range(g):
-        # distances of query level gq against all candidates, this band only
+        # packed selection keys of query level gq against all candidates:
+        # key = (bits(d²) & ~0x7F) | candidate_id. d² ≥ 0 so the f32 bit
+        # pattern is order-preserving as int32, and the candidate id in the
+        # low 7 mantissa bits (ncand ≤ 128) makes every key unique — one
+        # min scan per top-k round yields value AND argmin together
+        # (halves the per-round candidate sweeps vs min + masked argmin).
+        # Ties and sub-2⁻¹⁷-relative distance differences resolve to the
+        # lower candidate id; ``ops/knn.py :: window_knn`` implements the
+        # identical quantized ordering so the two paths stay bit-equal.
         q = [shifts_ref[0, center, c, gq] for c in range(3)]
 
         def dist_body(c2, _):
@@ -64,19 +72,19 @@ def _kernel(shifts_ref, out_ref, mask_ref, dist, *, g: int, k: int,
             for c in range(3):
                 diff = shifts_ref[0, s, c, gc] - q[c]
                 d = d + diff * diff
-            dist[c2] = d
+            dist[c2] = (jax.lax.bitcast_convert_type(d, jnp.int32)
+                        & jnp.int32(~0x7F)) | c2
             return 0
 
         jax.lax.fori_loop(0, ncand, dist_body, 0)
 
-        # iterative top-k: k rounds of (min, first-argmin, mask-out); the
-        # selected candidate ids double as bits of the window-selection
-        # mask consumed by the fused EdgeConv kernel (ops/pallas/edge.py)
+        # iterative top-k: k rounds of (key-min, mask-out); the selected
+        # candidate ids double as bits of the window-selection mask
+        # consumed by the fused EdgeConv kernel (ops/pallas/edge.py)
         def topk_body(rnd, carry):
-            d_all, masks = carry
-            dmin = jnp.min(d_all, axis=0)             # (TH, W_pad)
-            hitidx = jnp.where(d_all <= dmin[None], cand_iota, ncand)
-            am = jnp.min(hitidx, axis=0)              # first argmin, int32
+            k_all, masks = carry
+            kmin = jnp.min(k_all, axis=0)             # (TH, W_pad) int32
+            am = kmin & jnp.int32(0x7F)               # argmin candidate id
             # decode candidate id (gc·win² + dy·win + dx) → flat point index
             gc = am // nsh
             s = am - gc * nsh
@@ -89,7 +97,9 @@ def _kernel(shifts_ref, out_ref, mask_ref, dist, *, g: int, k: int,
             word = am // 32
             masks = jnp.stack([jnp.where(word == wi, masks[wi] | bit, masks[wi])
                                for wi in range(nw)])
-            return jnp.where(cand_iota == am[None], _BIG, d_all), masks
+            # keys are unique per pixel → exactly the argmin is masked out
+            return jnp.where(k_all == kmin[None], jnp.int32(0x7FFFFFFF),
+                             k_all), masks
 
         init_masks = jnp.zeros((nw, th, w_pad), jnp.uint32)
         _, masks = jax.lax.fori_loop(0, k, topk_body,
@@ -130,6 +140,8 @@ def _window_knn_impl(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
     nw = -(-(g * nsh) // 32)
     assert window % 2 == 1
     assert points.shape[1] == g * h * w
+    # candidate id must fit the 7 low mantissa bits of the packed key
+    assert g * nsh <= 128, "packed-key top-k supports at most 128 candidates"
     # Same corner-candidate sufficiency bound the XLA path enforces
     # (ops/knn.py): at an image corner only (r+1)² spatial offsets are
     # in-bounds; with fewer than k real candidates the kernel would emit
@@ -208,7 +220,7 @@ def _window_knn_impl(points: jnp.ndarray, grid_shape: Tuple[int, int, int],
         out_shape=(jax.ShapeDtypeStruct((b, k, g, h, w_pad), jnp.int32),
                    jax.ShapeDtypeStruct((b, nw, g, h, w_pad), jnp.uint32)),
         scratch_shapes=[
-            pltpu.VMEM((g * nsh, tile_h, w_pad), jnp.float32),
+            pltpu.VMEM((g * nsh, tile_h, w_pad), jnp.int32),
         ],
         interpret=interpret,
     )(shifts)
