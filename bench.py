@@ -60,6 +60,8 @@ def build(norm="bn", dtype="bfloat16", chunk_rows=128, fetch=None):
     if fetch is None:
         fetch = os.environ.get("BENCH_FETCH", cfg.MODEL.FLOW_FETCH)
     cfg.MODEL.FLOW_FETCH = fetch
+    if os.environ.get("BENCH_FLOW_GATHER"):  # A/B the grouped row gather
+        cfg.MODEL.FLOW_GATHER = os.environ["BENCH_FLOW_GATHER"]
     if os.environ.get("BENCH_MOMENTS"):      # A/B the fused view moments
         cfg.MODEL.FLOW_MOMENTS = True
     model, _, _ = build_model(cfg)

@@ -96,16 +96,20 @@ def main():
 
     names = sys.argv[1:] or ["full", "take", "moments", "notable",
                              "noextract", "nogather", "table"]
+    # extra variants: "cond" / "cond_take" run mode="cond" (per-view
+    # lax.cond wrapper) to measure whether XLA executes both branches
     results = {}
     for name in names:
         set_stub(name if name in ("notable", "noextract", "nogather")
                  else "none")
         kw = dict(groups=G, p0=P0, padded=padded, band_rows=BAND_ROWS,
                   mode="fast")
-        if name == "take":
+        if name in ("take", "cond_take"):
             kw["gather_impl"] = "take"
         if name == "moments":
             kw["reduce"] = "moments"
+        if name.startswith("cond"):
+            kw["mode"] = "cond"
 
         if name == "table":
             table = build_multilevel_table([f[:, 1:] for f in levels])

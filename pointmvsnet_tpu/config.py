@@ -242,6 +242,16 @@ def get_default_cfg() -> CfgNode:
                                              # (slab-matmul gather, exact
                                              # per-view fallback) | "take"
                                              # (hardware row gather)
+    _C.MODEL.FLOW_GATHER = "mxu"             # grouped-fetch row gather: "mxu"
+                                             # (slab-matmul gather) | "take"
+                                             # (hardware row gather; ~2 ms/band
+                                             # faster standalone but 60 ms
+                                             # SLOWER in situ — 2026-08-19 A/B)
+    _C.MODEL.FLOW_HOIST = False              # hoist the grouped-fallback
+                                             # decision to map level (measured
+                                             # slower than the per-view cond
+                                             # on one chip; the band mesh
+                                             # always hoists regardless)
     _C.MODEL.FLOW_MOMENTS = False            # fuse the view-variance moments
                                              # into the fetch (per-view Σf/Σf²
                                              # f32 accumulation — the stacked

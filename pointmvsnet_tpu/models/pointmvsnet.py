@@ -109,6 +109,7 @@ class PointFlowCore(nn.Module):
     dtype: jnp.dtype = jnp.float32
     knn_impl: str = "auto"
     fetch_patch: int = 4
+    fetch_gather: str = "mxu"
     moments: bool = False
 
     @nn.compact
@@ -170,7 +171,8 @@ class PointFlowCore(nn.Module):
             src = fetch_features_grouped(
                 [fmap[:, 1:] for fmap in levels], x, cams_levels[0][:, 1:],
                 groups=g, p0=self.fetch_patch, padded=src_padded,
-                band_rows=band_rows, mode=fetch_mode,
+                band_rows=band_rows, gather_impl=self.fetch_gather,
+                mode=fetch_mode,
                 reduce=reduce)                                        # (B,V-1,G·N,ΣC)
         else:
             src = fetch_features_multilevel(
@@ -260,6 +262,8 @@ class PointFlow(nn.Module):
     fetch_patch: int = 4       # grouped-fetch patch edge (560ch=1120B rows at
                                # p0=4/C=(8,16,32) — the widest flat-cost row)
     fetch_margin: int = 24     # extra band-local source rows beyond the band
+    fetch_gather: str = "mxu"  # grouped-fetch row gather: "mxu" | "take"
+    fetch_hoist: bool = False  # hoist the fallback decision to map level
     moments: bool = False      # per-view Σf/Σf² accumulation (MODEL.FLOW_MOMENTS)
 
     def setup(self):
@@ -277,6 +281,7 @@ class PointFlow(nn.Module):
                              self.m, self.k, self.window, self.norm,
                              self.dtype, self.knn_impl,
                              fetch_patch=self.fetch_patch,
+                             fetch_gather=self.fetch_gather,
                              moments=self.moments)
 
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
@@ -286,7 +291,40 @@ class PointFlow(nn.Module):
         cr = self.chunk_rows
         fetch = ("grouped" if self.fetch == "grouped"
                  or (self.fetch == "auto" and not train) else "table")
+        # Optional hoisted fallback decision (MODEL.FLOW_HOIST): prove "no
+        # view misses" ONCE per map with the projection-only precheck, then
+        # run the guard-free grouped fast path; a miss anywhere falls back
+        # to the exact table kernel for the WHOLE map. Measured on-chip
+        # (2026-08-19, headline config): the per-view lax.cond executes one
+        # branch and costs ~nothing, while the hoist's per-band precheck
+        # REGRESSED the pipeline 267 → 301 ms — so this defaults OFF for
+        # single-chip paths. The band-mesh path below always hoists: under
+        # its nn.vmap a cond would lower to a both-branches select.
+        hoist = (self.fetch_hoist and fetch == "grouped" and not train
+                 and not self.remat)
+
+        def miss_one(depth_b, lo_b, band_rows_b):
+            x, _ = hypothesis_points(depth_b, step, self.m, ref_cam, lo_b)
+            return grouped_miss_any(
+                [f[:, 1:] for f in levels], x, cams_levels[0][:, 1:],
+                2 * self.m + 1, p0=self.fetch_patch, band_rows=band_rows_b,
+                gather_impl=self.fetch_gather)
+
         if cr <= 0 or h <= cr + 16:  # too short to band (bs = cr + 2·halo)
+            if hoist:
+                padded = pad_levels([f[:, 1:] for f in levels],
+                                    self.fetch_patch)
+                return nn.cond(
+                    miss_one(cur_depth, 0, 0),
+                    lambda mdl: mdl.core(
+                        levels, cams_levels, ref_cam, cur_depth, step, 0, h,
+                        train,
+                        build_multilevel_table([f[:, 1:] for f in levels]),
+                        "table", 0, None, "cond"),
+                    lambda mdl: mdl.core(
+                        levels, cams_levels, ref_cam, cur_depth, step, 0, h,
+                        train, None, "grouped", 0, padded, "fast"),
+                    self)
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,
                              0, h, train, None, fetch, 0, None, "cond")
         if fetch == "grouped":
@@ -348,23 +386,14 @@ class PointFlow(nn.Module):
                 return jax.lax.with_sharding_constraint(out, spec)
 
             if fetch == "grouped":
-                # hoisted fallback decision (VERDICT r3 #4): under the band
-                # vmap the per-view lax.cond would lower to a both-branches
-                # select that eats the grouped win, so prove "no view
-                # misses" OUTSIDE the vmap with the projection-only
-                # precheck (same index math — ops/grouped_fetch.py
-                # ``_grouped_index``), then run the guard-free grouped fast
-                # path; a miss anywhere falls back to the exact table
-                # kernel for the WHOLE map (rare on real geometry —
-                # whole-map granularity is the price of composing the two).
-                def miss_one(depth_b, lo_b):
-                    x, _ = hypothesis_points(depth_b, step, self.m,
-                                             ref_cam, lo_b)
-                    return grouped_miss_any(
-                        [f[:, 1:] for f in levels], x,
-                        cams_levels[0][:, 1:], 2 * self.m + 1,
-                        p0=self.fetch_patch, band_rows=band_rows)
-                any_miss = jax.vmap(miss_one)(stacked, lo_arr).any()
+                # same hoisted decision (VERDICT r3 #4); under the band
+                # vmap the per-view lax.cond would additionally lower to a
+                # both-branches select, so the hoist is mandatory here
+                # (whole-map fallback granularity is the price of composing
+                # grouped fetch with the band mesh — rare on real geometry).
+                any_miss = jax.vmap(
+                    lambda d, lo: miss_one(d, lo, band_rows)
+                )(stacked, lo_arr).any()
                 out = nn.cond(
                     any_miss,
                     lambda mdl: run_bands(
@@ -380,13 +409,30 @@ class PointFlow(nn.Module):
                      for i, (y0, lo) in enumerate(zip(y0s, los))]
             return jnp.concatenate(bands, axis=1)
 
-        bands = []
-        for y0, lo in zip(y0s, los):
-            band = self.core(levels, cams_levels, ref_cam,
-                             cur_depth[:, lo:lo + bs], step, lo, h, train,
-                             src_table, fetch, band_rows, src_padded, "cond")
-            bands.append(band[:, y0 - lo: y0 - lo + cr])
-        return jnp.concatenate(bands, axis=1)
+        def run_loop(mdl, table_b, fetch_b, band_rows_b, padded_b, mode_b):
+            outs = []
+            for y0, lo in zip(y0s, los):
+                band = mdl.core(levels, cams_levels, ref_cam,
+                                cur_depth[:, lo:lo + bs], step, lo, h, train,
+                                table_b, fetch_b, band_rows_b, padded_b,
+                                mode_b)
+                outs.append(band[:, y0 - lo: y0 - lo + cr])
+            return jnp.concatenate(outs, axis=1)
+
+        if hoist:
+            any_miss = jnp.stack(
+                [miss_one(cur_depth[:, lo:lo + bs],
+                          jnp.asarray(lo, jnp.int32), band_rows)
+                 for lo in los]).any()
+            return nn.cond(
+                any_miss,
+                lambda mdl: run_loop(
+                    mdl, build_multilevel_table([f[:, 1:] for f in levels]),
+                    "table", 0, None, "cond"),
+                lambda mdl: run_loop(mdl, None, "grouped", band_rows,
+                                     src_padded, "fast"),
+                self)
+        return run_loop(self, src_table, fetch, band_rows, src_padded, "cond")
 
 
 class PointMVSNet(nn.Module):
@@ -408,6 +454,9 @@ class PointMVSNet(nn.Module):
     band_mesh: object = None   # Mesh with a "band" axis → band-parallel flow
     view_mesh: object = None   # Mesh with a "view" axis → view-parallel cost
     flow_fetch: str = "table"  # "table" | "grouped" | "auto" (grouped at eval)
+    flow_gather: str = "mxu"   # grouped-fetch row gather: "mxu" | "take"
+    flow_hoist: bool = False   # map-level grouped-fallback decision (measured
+                               # slower than the per-view cond on one chip)
     coarse_fetch: str = "mxu"  # plane-sweep warp: "mxu" | "take"
     flow_moments: bool = False  # fused per-view moment accumulation
 
@@ -419,6 +468,8 @@ class PointMVSNet(nn.Module):
                                     self.norm, self.dtype, self.knn_impl,
                                     self.flow_chunk_rows, self.remat,
                                     self.band_mesh, fetch=self.flow_fetch,
+                                    fetch_gather=self.flow_gather,
+                                    fetch_hoist=self.flow_hoist,
                                     moments=self.flow_moments)
 
     def _pyramid(self, images: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:
