@@ -52,20 +52,31 @@ def main():
 
     names = sys.argv[1:] or ["full", "nofetch", "nowmax", "noknn", "nohead",
                              "noedge"]
+    # extra variants: "fastmode" (fetch_mode="fast" — no per-view cond);
+    # "notable"/"noextract"/"nogather" (fetch-internal stubs, in-core)
+    import fetch_probe as fp
     results = {}
     for name in names:
-        set_stub(name)
-        core = PointFlowCore(dtype=jnp.bfloat16, fetch_gather="take")
+        mode = "cond"
+        if name in ("notable", "noextract", "nogather"):
+            set_stub("none")
+            fp.set_stub(name)
+        else:
+            fp.set_stub("none")
+            set_stub(name if name != "fastmode" else "none")
+            if name == "fastmode":
+                mode = "fast"
+        core = PointFlowCore(dtype=jnp.bfloat16, fetch_gather="mxu")
         src_padded = pad_levels([f[:, 1:] for f in levels], 4)
         var = core.init(jax.random.PRNGKey(0), levels, cams_levels, ref_cam,
                         band, step, Y0, H, False, None, "grouped",
-                        BAND_ROWS, src_padded, "cond")
+                        BAND_ROWS, src_padded, mode)
 
         @jax.jit
-        def fn(depth_band):
+        def fn(depth_band, mode=mode):
             out = core.apply(var, levels, cams_levels, ref_cam, depth_band,
                              step, Y0, H, False, None, "grouped", BAND_ROWS,
-                             src_padded, "cond")
+                             src_padded, mode)
             # chain through the refined band (float -> x*0 can't fold)
             return depth_band + (out.ravel()[0] * 0) + 1e-6
 
