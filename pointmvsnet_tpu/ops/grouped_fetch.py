@@ -203,6 +203,129 @@ def _grouped_index(h0: int, w0: int, num_levels: int, points: jnp.ndarray,
                 sc=sc, span_eff=span_eff, n=n)
 
 
+def _weighted_taps(rows: jnp.ndarray, bj: jnp.ndarray, bi: jnp.ndarray,
+                   du: jnp.ndarray, dv: jnp.ndarray,
+                   iny0: jnp.ndarray, iny1: jnp.ndarray,
+                   inx0: jnp.ndarray, inx1: jnp.ndarray,
+                   p: int, c: int) -> jnp.ndarray:
+    """Bilinear combine straight from p×p patch rows with FACTORED one-hot ×
+    weight vectors: out = Σ_a wy[a] · Σ_b wx[b] · patch[a, b] — wy/wx carry
+    the lerp weights AND the per-tap border masks (a masked-out tap gets
+    weight exactly 0.0, and 0·x + 0 is exact), so only the 4 true taps
+    contribute. Values equal the mask+lerp formulation up to fp
+    reassociation (~1 ulp). Cost: p²·C + p·C MACs per point — ~3× fewer
+    elementwise ops than separate extraction + lerp at p=4."""
+    patch = rows.reshape(*rows.shape[:-1], p, p, c)
+    ar = jnp.arange(p, dtype=bj.dtype)
+    zero = jnp.zeros((), jnp.float32)
+    wy = (jnp.where((ar == bj[..., None]) & iny0[..., None],
+                    (1.0 - dv)[..., None], zero)
+          + jnp.where((ar == bj[..., None] + 1) & iny1[..., None],
+                      dv[..., None], zero))                    # (..., p)
+    wx = (jnp.where((ar == bi[..., None]) & inx0[..., None],
+                    (1.0 - du)[..., None], zero)
+          + jnp.where((ar == bi[..., None] + 1) & inx1[..., None],
+                      du[..., None], zero))
+    t = jnp.einsum("...b,...abc->...ac", wx, patch)
+    return jnp.einsum("...a,...ac->...c", wy, t)               # (..., c)
+
+
+def fetch_features_dgrouped(feat: jnp.ndarray, points: jnp.ndarray,
+                            cams: jnp.ndarray, groups: int, npix: int,
+                            p0: int = 8, mode: str = "cond") -> jnp.ndarray:
+    """Single-level, depth-block-grouped point fetch — the plane-sweep twin
+    of ``fetch_features_grouped``: ``points`` (B, D·N, 3) is d-major over a
+    fixed pixel grid and consecutive blocks of ``groups`` depth hypotheses
+    of a pixel project onto a short epipolar segment, so each (pixel,
+    block, view) gathers ONE p0×p0 patch row and reconstructs its
+    ``groups`` bilinear samples from it — ``groups``× fewer gather rows
+    than the per-point warp (the coarse stage's dominant cost).
+
+    feat (B, V, h0, w0, C) source views; cams (B, V, 2, 4, 4) at feature
+    resolution; ``npix`` = pixels per hypothesis plane (points are d-major:
+    points[d·npix + n] = plane d of pixel n). The patch table is
+    point-independent (full height) and hoisted per view. Blocks whose
+    epipolar span overflows the patch fall back per VIEW to the exact
+    per-point ``bilinear_sample`` (lax.cond; ``mode="fast"`` skips the
+    guard for vmapped callers). Values equal the per-point path up to fp
+    reassociation (factored lerp weights).
+    → (B, V, D·N, C) float32.
+    """
+    b, v, h0, w0, c = feat.shape
+    n_all = points.shape[1]
+    assert n_all % (groups * npix) == 0
+
+    cams32 = cams.astype(jnp.float32)
+    extr = cam_extrinsics(cams32)
+    intr = cam_intrinsics(cams32)
+    uv, z = project_points(points.astype(jnp.float32)[:, None], extr, intr)
+    u, w_v = uv[..., 0], uv[..., 1]                            # (B, V, D·N)
+    valid = z > 0
+    i0 = jnp.floor(u).astype(jnp.int32)
+    j0 = jnp.floor(w_v).astype(jnp.int32)
+
+    # d-major layout: (B, V, D·N) → (B, V, NB, groups, N) — the ``groups``
+    # consecutive hypothesis planes of pixel n form one patch group
+    nb = n_all // (groups * npix)
+    gi0 = i0.reshape(b, v, nb, groups, npix)
+    gj0 = j0.reshape(b, v, nb, groups, npix)
+    gval = valid.reshape(b, v, nb, groups, npix)
+
+    # "needs real texels" (same clamp rationale as _grouped_index at L=1:
+    # a tap is alive only while the floor cell is within 1 texel of the map)
+    need = (gval & (gi0 >= -1) & (gi0 <= w0 - 1)
+            & (gj0 >= -1) & (gj0 <= h0 - 1))
+    i0c = jnp.clip(gi0, -1, w0 - 1)
+    j0c = jnp.clip(gj0, -1, h0 - 1)
+    oi = jnp.min(jnp.where(need, i0c, w0 - 1), axis=3)         # (B,V,NB,N)
+    oj = jnp.min(jnp.where(need, j0c, h0 - 1), axis=3)
+    di = jnp.where(need, i0c - oi[:, :, :, None], 0)
+    dj = jnp.where(need, j0c - oj[:, :, :, None], 0)
+    miss_v = jnp.any((di > p0 - 2) | (dj > p0 - 2),
+                     axis=(0, 2, 3, 4))                        # (V,)
+    row_idx = ((oj + 1) * (w0 + 1) + (oi + 1)).reshape(b, v, nb * npix)
+
+    padded = jnp.pad(feat, [(0, 0), (0, 0), (1, p0 - 1), (1, p0 - 1), (0, 0)])
+    sc = h0 + 1
+
+    du = (u.reshape(b, v, nb, groups, npix)
+          - gi0.astype(jnp.float32))                           # in-cell frac
+    dv = (w_v.reshape(b, v, nb, groups, npix)
+          - gj0.astype(jnp.float32))
+    bi = i0c - oi[:, :, :, None]                               # in-patch org
+    bj = j0c - oj[:, :, :, None]
+    inx0 = (gi0 >= 0) & (gi0 <= w0 - 1)
+    inx1 = (gi0 + 1 >= 0) & (gi0 + 1 <= w0 - 1)
+    iny0 = (gj0 >= 0) & (gj0 <= h0 - 1)
+    iny1 = (gj0 + 1 >= 0) & (gj0 + 1 <= h0 - 1)
+
+    def fast_view(vi):
+        table = jax.vmap(
+            lambda f: _build_table_one([f], p0, h0, w0, sc,
+                                       jnp.zeros((), jnp.int32))
+        )(padded[:, vi])                                       # (B, rows, p0²C)
+        rows = jnp.take_along_axis(table, row_idx[:, vi, :, None], axis=-2)
+        rows = rows.reshape(b, nb, 1, npix, p0 * p0 * c)
+        out = _weighted_taps(
+            jnp.broadcast_to(rows, (b, nb, groups, npix, p0 * p0 * c)),
+            bj[:, vi], bi[:, vi], du[:, vi], dv[:, vi],
+            iny0[:, vi], iny1[:, vi], inx0[:, vi], inx1[:, vi], p0, c)
+        out = jnp.where(gval[:, vi, ..., None], out, 0.0)      # z>0 gate
+        return out.reshape(b, n_all, c)
+
+    def slow_view(vi):
+        return bilinear_sample(feat[:, vi], uv[:, vi], valid=valid[:, vi])
+
+    def one_view(vi):
+        if mode == "fast":
+            return fast_view(vi)
+        return lax.cond(miss_v[vi],
+                        lambda vi=vi: slow_view(vi).astype(jnp.float32),
+                        lambda vi=vi: fast_view(vi).astype(jnp.float32))
+
+    return jnp.stack([one_view(vi) for vi in range(v)], axis=1)
+
+
 def grouped_miss_any(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
                      cams: jnp.ndarray, groups: int, p0: int = 5,
                      band_rows: int = 0, gather_impl: str = "mxu",
