@@ -64,6 +64,14 @@ def build(norm="bn", dtype="bfloat16", chunk_rows=128, fetch=None):
         cfg.MODEL.FLOW_GATHER = os.environ["BENCH_FLOW_GATHER"]
     if os.environ.get("BENCH_MOMENTS"):      # A/B the fused view moments
         cfg.MODEL.FLOW_MOMENTS = True
+    if os.environ.get("BENCH_EXTRACT"):      # A/B the grouped tap extraction
+        cfg.MODEL.FLOW_EXTRACT = os.environ["BENCH_EXTRACT"]
+    if os.environ.get("BENCH_SRC_DTYPE"):    # A/B the source-feature dtype
+        cfg.MODEL.FLOW_SRC_DTYPE = os.environ["BENCH_SRC_DTYPE"]
+    if os.environ.get("BENCH_COARSE_FETCH"):  # A/B the plane-sweep warp
+        cfg.MODEL.COARSE_FETCH = os.environ["BENCH_COARSE_FETCH"]
+    if os.environ.get("BENCH_CHUNK_ROWS"):   # A/B the flow band height
+        cfg.MODEL.FLOW_CHUNK_ROWS = int(os.environ["BENCH_CHUNK_ROWS"])
     model, _, _ = build_model(cfg)
     return cfg, model
 

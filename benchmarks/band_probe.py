@@ -58,15 +58,51 @@ def main():
     results = {}
     for name in names:
         mode = "cond"
-        if name in ("notable", "noextract", "nogather"):
+        core_kw = {}
+        import os as _os
+        _os.environ.pop("POINTFLOW_BARRIER", None)
+        _os.environ.pop("GROUPED_FETCH_BARRIER", None)
+        if name.startswith("fast_"):
+            # forced-fast-path composition-fix candidates: weighted taps,
+            # bf16 src features, table/rows optimization barriers
+            fp.set_stub("none")
+            set_stub("none")
+            mode = "fast"
+            for tag in name.split("_")[1:]:
+                if tag == "weighted":
+                    core_kw["fetch_extract"] = "weighted"
+                elif tag == "bf16":
+                    core_kw["src_dtype"] = jnp.bfloat16
+                elif tag in ("btab", "brow", "bboth"):
+                    _os.environ["GROUPED_FETCH_BARRIER"] = {
+                        "btab": "table", "brow": "rows", "bboth": "both"}[tag]
+                elif tag == "take":
+                    core_kw["fetch_gather"] = "take"
+        elif name in ("notable", "noextract", "nogather"):
             set_stub("none")
             fp.set_stub(name)
+        elif name in ("weighted", "bf16src", "wbf16", "barrier",
+                      "moments_core"):
+            # composition-fix candidates (round 4): factored weighted-tap
+            # extraction, bf16 per-view source features, scheduling barrier
+            # after point_feat, fused per-view moments IN-CORE
+            fp.set_stub("none")
+            set_stub("none")
+            if name in ("weighted", "wbf16"):
+                core_kw["fetch_extract"] = "weighted"
+            if name in ("bf16src", "wbf16"):
+                core_kw["src_dtype"] = jnp.bfloat16
+            if name == "barrier":
+                _os.environ["POINTFLOW_BARRIER"] = "1"
+            if name == "moments_core":
+                core_kw["moments"] = True
         else:
             fp.set_stub("none")
             set_stub(name if name != "fastmode" else "none")
             if name == "fastmode":
                 mode = "fast"
-        core = PointFlowCore(dtype=jnp.bfloat16, fetch_gather="mxu")
+        core = PointFlowCore(dtype=jnp.bfloat16, fetch_gather="mxu",
+                             **core_kw)
         src_padded = pad_levels([f[:, 1:] for f in levels], 4)
         var = core.init(jax.random.PRNGKey(0), levels, cams_levels, ref_cam,
                         band, step, Y0, H, False, None, "grouped",

@@ -110,6 +110,10 @@ def main():
             kw["reduce"] = "moments"
         if name.startswith("cond"):
             kw["mode"] = "cond"
+        if name in ("weighted", "wbf16"):   # factored one-hot×weight taps
+            kw["extract"] = "weighted"
+        if name in ("bf16", "wbf16"):       # bf16 per-view source features
+            kw["out_dtype"] = jnp.bfloat16
 
         if name == "table":
             table = build_multilevel_table([f[:, 1:] for f in levels])

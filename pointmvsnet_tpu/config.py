@@ -259,6 +259,20 @@ def get_default_cfg() -> CfgNode:
                                              # materializes; slightly MORE
                                              # precise than the stacked bf16
                                              # square-sum)
+    _C.MODEL.FLOW_EXTRACT = "onehot"         # grouped-fetch tap extraction:
+                                             # "onehot" (per-tap one-hot dots
+                                             # + separate mask/lerp) |
+                                             # "weighted" (factored one-hot ×
+                                             # weight contraction — fewer
+                                             # elementwise ops, ~1 ulp
+                                             # reassociation difference)
+    _C.MODEL.FLOW_SRC_DTYPE = ""             # per-view source-feature dtype
+                                             # for the flow fetch: "" (f32) |
+                                             # "bfloat16" (halves the stacked
+                                             # (V,G·N,ΣC) live buffer; bf16
+                                             # quantization of the lerped
+                                             # values — variance still
+                                             # accumulates in f32)
 
     # -- solver (reference `pointmvsnet/utils/solver.py`) ----------------
     _C.SOLVER = CfgNode()

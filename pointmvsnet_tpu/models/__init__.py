@@ -62,6 +62,9 @@ def build_pointmvsnet(cfg, band_mesh=None,
         flow_hoist=cfg.MODEL.FLOW_HOIST,
         coarse_fetch=cfg.MODEL.COARSE_FETCH,
         flow_moments=cfg.MODEL.FLOW_MOMENTS,
+        flow_extract=cfg.MODEL.FLOW_EXTRACT,
+        flow_src_dtype=(jnp.dtype(cfg.MODEL.FLOW_SRC_DTYPE)
+                        if cfg.MODEL.FLOW_SRC_DTYPE else None),
     )
     loss_fn = functools.partial(pointmvsnet_loss,
                                 valid_threshold=cfg.MODEL.VALID_THRESHOLD

@@ -111,6 +111,8 @@ class PointFlowCore(nn.Module):
     fetch_patch: int = 4
     fetch_gather: str = "mxu"
     moments: bool = False
+    fetch_extract: str = "onehot"   # grouped tap extraction: "onehot" | "weighted"
+    src_dtype: object = None        # cast per-view source features (e.g. bf16)
 
     @nn.compact
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
@@ -173,7 +175,8 @@ class PointFlowCore(nn.Module):
                 groups=g, p0=self.fetch_patch, padded=src_padded,
                 band_rows=band_rows, gather_impl=self.fetch_gather,
                 mode=fetch_mode,
-                reduce=reduce)                                        # (B,V-1,G·N,ΣC)
+                reduce=reduce, extract=self.fetch_extract,
+                out_dtype=self.src_dtype)                             # (B,V-1,G·N,ΣC)
         else:
             src = fetch_features_multilevel(
                 [fmap[:, 1:] for fmap in levels], x,
@@ -187,10 +190,18 @@ class PointFlowCore(nn.Module):
             mean = (ref_all + s1) / nv
             sq_mean = (jnp.square(ref_all) + s2) / nv
         else:
-            mean = (ref_all + jnp.sum(src, axis=1)) / nv
+            # reductions promote to f32 (fused into the reduce by XLA), so
+            # a bf16 ``src_dtype`` only quantizes the stored features, not
+            # the accumulation
+            mean = (ref_all
+                    + jnp.sum(src, axis=1, dtype=jnp.float32)) / nv
             sq_mean = (jnp.square(ref_all)
-                       + jnp.sum(jnp.square(src), axis=1)) / nv
+                       + jnp.sum(jnp.square(src.astype(jnp.float32)),
+                                 axis=1)) / nv
         point_feat = sq_mean - jnp.square(mean)                       # (B, G·N, ΣC)
+        import os as _os
+        if _os.environ.get("POINTFLOW_BARRIER"):   # trace-time scheduling probe
+            point_feat = jax.lax.optimization_barrier(point_feat)
 
         # --- kNN graph over the structured hypothesis grid ----------------
         # stop_gradient on the INPUT: indices are non-differentiable and the
@@ -265,6 +276,8 @@ class PointFlow(nn.Module):
     fetch_gather: str = "mxu"  # grouped-fetch row gather: "mxu" | "take"
     fetch_hoist: bool = False  # hoist the fallback decision to map level
     moments: bool = False      # per-view Σf/Σf² accumulation (MODEL.FLOW_MOMENTS)
+    fetch_extract: str = "onehot"  # grouped tap extraction (MODEL.FLOW_EXTRACT)
+    src_dtype: object = None   # per-view source-feature dtype (MODEL.FLOW_SRC_DTYPE)
 
     def setup(self):
         core_cls = PointFlowCore
@@ -282,7 +295,9 @@ class PointFlow(nn.Module):
                              self.dtype, self.knn_impl,
                              fetch_patch=self.fetch_patch,
                              fetch_gather=self.fetch_gather,
-                             moments=self.moments)
+                             moments=self.moments,
+                             fetch_extract=self.fetch_extract,
+                             src_dtype=self.src_dtype)
 
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
                  ref_cam: jnp.ndarray, cur_depth: jnp.ndarray, step: jnp.ndarray,
@@ -459,6 +474,8 @@ class PointMVSNet(nn.Module):
                                # slower than the per-view cond on one chip)
     coarse_fetch: str = "mxu"  # plane-sweep warp: "mxu" | "take"
     flow_moments: bool = False  # fused per-view moment accumulation
+    flow_extract: str = "onehot"  # grouped tap extraction: "onehot" | "weighted"
+    flow_src_dtype: object = None  # per-view source-feature dtype (None = f32)
 
     def setup(self):
         self.img_conv = ImageConv(self.img_base_channels, self.norm, self.dtype)
@@ -470,7 +487,9 @@ class PointMVSNet(nn.Module):
                                     self.band_mesh, fetch=self.flow_fetch,
                                     fetch_gather=self.flow_gather,
                                     fetch_hoist=self.flow_hoist,
-                                    moments=self.flow_moments)
+                                    moments=self.flow_moments,
+                                    fetch_extract=self.flow_extract,
+                                    src_dtype=self.flow_src_dtype)
 
     def _pyramid(self, images: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:
         """Run the shared 2D CNN over all views folded into batch."""

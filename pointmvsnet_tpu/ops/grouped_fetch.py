@@ -203,6 +203,37 @@ def _grouped_index(h0: int, w0: int, num_levels: int, points: jnp.ndarray,
                 sc=sc, span_eff=span_eff, n=n)
 
 
+def _weighted_taps_shared(rows: jnp.ndarray, bj: jnp.ndarray, bi: jnp.ndarray,
+                          du: jnp.ndarray, dv: jnp.ndarray,
+                          iny0: jnp.ndarray, iny1: jnp.ndarray,
+                          inx0: jnp.ndarray, inx1: jnp.ndarray,
+                          p: int, c: int) -> jnp.ndarray:
+    """``_weighted_taps`` for a patch SHARED across the group axis:
+    rows (B, N, p²·c) — ONE patch per pixel; bj/bi/du/dv/masks (B, G, N)
+    per hypothesis. Builds the combined one-hot × weight patch
+    W = wy ⊗ wx (B, G, N, p²) and contracts the pixel's patch once —
+    the patch is read once per PIXEL instead of once per hypothesis
+    (the G-broadcast never materializes). Same weights as
+    ``_weighted_taps`` (wy/wx carry lerp weights AND border masks; masked
+    taps get weight exactly 0.0); values differ from the per-tap
+    formulation only by fp reassociation (~1 ulp). → (B, G, N, c)."""
+    b, n = rows.shape[0], rows.shape[1]
+    patch = rows.reshape(b, n, p * p, c)
+    ar = jnp.arange(p, dtype=bj.dtype)
+    zero = jnp.zeros((), jnp.float32)
+    wy = (jnp.where((ar == bj[..., None]) & iny0[..., None],
+                    (1.0 - dv)[..., None], zero)
+          + jnp.where((ar == bj[..., None] + 1) & iny1[..., None],
+                      dv[..., None], zero))                    # (B, G, N, p)
+    wx = (jnp.where((ar == bi[..., None]) & inx0[..., None],
+                    (1.0 - du)[..., None], zero)
+          + jnp.where((ar == bi[..., None] + 1) & inx1[..., None],
+                      du[..., None], zero))
+    w = (wy[..., :, None] * wx[..., None, :]).reshape(
+        b, wy.shape[1], n, p * p)                              # (B, G, N, p²)
+    return jnp.einsum("bgnk,bnkc->bgnc", w, patch)
+
+
 def _weighted_taps(rows: jnp.ndarray, bj: jnp.ndarray, bi: jnp.ndarray,
                    du: jnp.ndarray, dv: jnp.ndarray,
                    iny0: jnp.ndarray, iny1: jnp.ndarray,
@@ -350,7 +381,9 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
                            gather_block: int = 512,
                            gather_span: int = 1536,
                            mode: str = "cond",
-                           reduce: str = "stack"):
+                           reduce: str = "stack",
+                           extract: str = "onehot",
+                           out_dtype=None):
     """Drop-in for ``fetch_features_multilevel`` when ``points`` is a
     g-major stack of ``groups`` hypothesis sets over the same pixel grid
     (points[g·N + n] = hypothesis g of pixel n) — PointFlow's layout.
@@ -371,6 +404,18 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
     the variance aggregation's reduction, without ever materializing the
     (V, G·N, ΣC) stacked tensor (PointFlow only consumes the two moments;
     the per-view accumulate bounds peak HBM at ONE view's features).
+
+    ``extract``: "onehot" reconstructs the 4 bilinear taps per level by
+    one-hot dots and lerps them with separate mask/weight factors (values
+    equal the gather path's mul/add chain); "weighted" folds masks + lerp
+    weights into factored wy ⊗ wx one-hot×weight vectors and contracts the
+    patch once (``_weighted_taps`` — p²C + pC MACs instead of extraction
+    plus lerp, same taps, ~1 ulp reassociation difference).
+
+    ``out_dtype``: optional dtype the per-view features are cast to before
+    stacking (e.g. bfloat16 halves the fetch's dominant live buffer — the
+    (V−1, G·N, ΣC) stack — at bf16 quantization of the lerped values; the
+    cond fallback branch is cast identically so both paths agree in dtype).
     """
     b, v, h0, w0, _ = levels[0].shape
     n_all = points.shape[1]
@@ -392,16 +437,25 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
             h=h0, m=miss_v,
             p=((ix["di"] > p0 - 2) | (ix["dj"] > p0 - 2)).mean())
 
+    import os
+    barrier = os.environ.get("GROUPED_FETCH_BARRIER", "")  # trace-time probe
     def fast_view(vi):
         table = jax.vmap(
             lambda pl, r: _build_table_one(pl, p0, h0, w0, sc, r)
         )([f[:, vi] for f in padded], r0[:, vi])               # (B, rows, ΣW)
+        if barrier in ("table", "both"):
+            # scheduling probe: force the table to materialize ONCE instead
+            # of letting XLA duplicate the "cheap" slice+concat build into
+            # every consumer fusion (benchmarks/band_probe.py)
+            table = jax.lax.optimization_barrier(table)
         if gather_impl == "mxu":
             rows, _ = gather_rows_mxu(table, row_idx[:, vi],
                                       block=gather_block, span=span_eff)
         else:
             rows = jnp.take_along_axis(table, row_idx[:, vi, :, None],
                                        axis=-2)
+        if barrier in ("rows", "both"):
+            rows = jax.lax.optimization_barrier(rows)
         outs = []                                              # rows: (B, N, ΣW)
         off = 0
         for l, f in enumerate(levels):
@@ -413,24 +467,35 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
             jl = gj0[:, vi] >> l
             bi = (i0c[:, vi] >> l) - (oi[:, vi, None] >> l)
             bj = (j0c[:, vi] >> l) - (oj[:, vi, None] >> l)
-            f00, f01, f10, f11 = _onehot_extract(
-                jnp.broadcast_to(rows[:, None, :, off:off + p * p * c],
-                                 (b, groups, n, p * p * c)),
-                bj, bi, p, c)
+            rows_l = jnp.broadcast_to(rows[:, None, :, off:off + p * p * c],
+                                      (b, groups, n, p * p * c))
             scale = 1.0 / (1 << l)
             u_l = u[:, vi].reshape(b, groups, n) * scale
             v_l = w_v[:, vi].reshape(b, groups, n) * scale
-            du = (u_l - il.astype(jnp.float32))[..., None]
-            dv = (v_l - jl.astype(jnp.float32))[..., None]
+            if extract == "weighted":
+                # factored one-hot × weight contraction, patch read once
+                # per pixel (see _weighted_taps_shared; ~1 ulp vs "onehot")
+                out = _weighted_taps_shared(
+                    rows[:, :, off:off + p * p * c], bj, bi,
+                    u_l - il.astype(jnp.float32),
+                    v_l - jl.astype(jnp.float32),
+                    (jl >= 0) & (jl <= hl - 1),
+                    (jl + 1 >= 0) & (jl + 1 <= hl - 1),
+                    (il >= 0) & (il <= wl - 1),
+                    (il + 1 >= 0) & (il + 1 <= wl - 1), p, c)
+            else:
+                f00, f01, f10, f11 = _onehot_extract(rows_l, bj, bi, p, c)
+                du = (u_l - il.astype(jnp.float32))[..., None]
+                dv = (v_l - jl.astype(jnp.float32))[..., None]
 
-            def inside(ui, vi_):
-                return ((ui >= 0) & (ui <= wl - 1)
-                        & (vi_ >= 0) & (vi_ <= hl - 1))[..., None]
+                def inside(ui, vi_):
+                    return ((ui >= 0) & (ui <= wl - 1)
+                            & (vi_ >= 0) & (vi_ <= hl - 1))[..., None]
 
-            out = (jnp.where(inside(il, jl), f00, 0) * ((1 - du) * (1 - dv))
-                   + jnp.where(inside(il + 1, jl), f01, 0) * (du * (1 - dv))
-                   + jnp.where(inside(il, jl + 1), f10, 0) * ((1 - du) * dv)
-                   + jnp.where(inside(il + 1, jl + 1), f11, 0) * (du * dv))
+                out = (jnp.where(inside(il, jl), f00, 0) * ((1 - du) * (1 - dv))
+                       + jnp.where(inside(il + 1, jl), f01, 0) * (du * (1 - dv))
+                       + jnp.where(inside(il, jl + 1), f10, 0) * ((1 - du) * dv)
+                       + jnp.where(inside(il + 1, jl + 1), f11, 0) * (du * dv))
             out = jnp.where(gval[:, vi, ..., None], out, 0)
             outs.append(out.reshape(b, n_all, c))
             off += p * p * c
@@ -446,12 +511,15 @@ def fetch_features_grouped(levels: Sequence[jnp.ndarray], points: jnp.ndarray,
                                         valid=valid[:, vi]))
         return jnp.concatenate(outs, axis=-1)
 
+    def _cast(y):
+        return y.astype(out_dtype) if out_dtype is not None else y
+
     def one_view(vi):
         if mode == "fast":
-            return fast_view(vi)
+            return _cast(fast_view(vi))
         return lax.cond(miss_v[vi],
-                        lambda vi=vi: slow_view(vi),
-                        lambda vi=vi: fast_view(vi))
+                        lambda vi=vi: _cast(slow_view(vi)),
+                        lambda vi=vi: _cast(fast_view(vi)))
 
     if reduce == "moments":
         s1 = jnp.zeros((b, n_all, sum(f.shape[-1] for f in levels)),

@@ -285,3 +285,72 @@ def test_grouped_grad_parity_points(rng):
         pts))(pts)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("p0", [4, 5])
+def test_weighted_extract_matches(rng, p0):
+    """extract="weighted" (factored one-hot × weight contraction) reads the
+    same taps with the same masks/weights as "onehot" — equal up to fp
+    reassociation of the lerp-weight products (~1 ulp)."""
+    levels, cams = make_pyramid(rng)
+    pts = make_points(rng, 1, 64, groups=5, spread=0.002)
+    ref = fetch_features_multilevel(levels, pts, cams)
+    got = fetch_features_grouped(levels, pts, cams, groups=5, p0=p0,
+                                 extract="weighted")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_weighted_extract_outside_and_behind(rng):
+    """Weighted extraction zeroes masked taps exactly (weight 0.0), so
+    behind-camera / outside / border points match the gather path."""
+    levels, cams = make_pyramid(rng)
+    pts = np.array(make_points(rng, 1, 48, groups=3, spread=0.01))
+    pts[0, :8, 2] = -3.0
+    pts[0, 8:14, 0] += 100.0
+    pts[0, 14:20, 0] = 9.0
+    pts = jnp.asarray(pts)
+    ref = fetch_features_multilevel(levels, pts, cams)
+    got = fetch_features_grouped(levels, pts, cams, groups=3, p0=5,
+                                 extract="weighted")
+    assert_feats_close(got, ref)
+
+
+def test_weighted_extract_grad_parity(rng):
+    """extract="weighted" backward w.r.t. the feature maps equals the
+    multilevel gather path (same scatter of the same weights)."""
+    import jax
+
+    levels, cams = make_pyramid(rng)
+    pts = make_points(rng, 1, 48, groups=5, spread=0.002)
+    w_rand = jnp.asarray(rng.randn(1, 3, 48 * 5, 18).astype(np.float32))
+
+    def loss(fetch_fn, lv):
+        return jnp.sum(fetch_fn(lv, pts, cams) * w_rand)
+
+    g_ref = jax.grad(lambda lv: loss(
+        lambda l, p, c: fetch_features_multilevel(l, p, c), lv))(levels)
+    g_w = jax.grad(lambda lv: loss(
+        lambda l, p, c: fetch_features_grouped(
+            l, p, c, groups=5, p0=4, extract="weighted"), lv))(levels)
+    for a, b in zip(g_ref, g_w):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_out_dtype_bf16(rng):
+    """out_dtype=bf16: per-view features are the f32 fetch quantized to
+    bf16 (both cond branches), so the result is within one bf16 ulp of the
+    f32 path and the dtype is bf16 for both fast and fallback geometry."""
+    levels, cams = make_pyramid(rng)
+    for spread in (0.002, 0.8):               # fast path / fallback path
+        pts = make_points(rng, 1, 32, groups=5, spread=spread)
+        ref = fetch_features_grouped(levels, pts, cams, groups=5, p0=4)
+        got = fetch_features_grouped(levels, pts, cams, groups=5, p0=4,
+                                     out_dtype=jnp.bfloat16)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=8e-3, atol=1e-6)
