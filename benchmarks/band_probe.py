@@ -101,8 +101,8 @@ def main():
             set_stub(name if name != "fastmode" else "none")
             if name == "fastmode":
                 mode = "fast"
-        core = PointFlowCore(dtype=jnp.bfloat16, fetch_gather="mxu",
-                             **core_kw)
+        core_kw.setdefault("fetch_gather", "mxu")
+        core = PointFlowCore(dtype=jnp.bfloat16, **core_kw)
         src_padded = pad_levels([f[:, 1:] for f in levels], 4)
         var = core.init(jax.random.PRNGKey(0), levels, cams_levels, ref_cam,
                         band, step, Y0, H, False, None, "grouped",

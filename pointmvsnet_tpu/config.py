@@ -236,8 +236,11 @@ def get_default_cfg() -> CfgNode:
                                              # "table" (combined-table gather per
                                              # hypothesis) | "grouped" (one patch
                                              # row per PIXEL, hypotheses rebuilt
-                                             # on the VPU) | "auto" (grouped at
-                                             # eval, table under training)
+                                             # on the VPU) | "bilinear" (per-level
+                                             # 2x2-table gathers — no fallback
+                                             # cond, smallest working set) |
+                                             # "auto" (grouped at eval, table
+                                             # under training)
     _C.MODEL.COARSE_FETCH = "mxu"            # plane-sweep warp gather: "mxu"
                                              # (slab-matmul gather, exact
                                              # per-view fallback) | "take"

@@ -51,6 +51,7 @@ from pointmvsnet_tpu.ops.knn import window_knn_auto, window_knn_mask_auto
 from pointmvsnet_tpu.ops.sampling import (
     build_multilevel_table,
     fetch_features_multilevel,
+    fetch_features_perlevel,
     regular_grid_sample,
 )
 
@@ -177,6 +178,13 @@ class PointFlowCore(nn.Module):
                 mode=fetch_mode,
                 reduce=reduce, extract=self.fetch_extract,
                 out_dtype=self.src_dtype)                             # (B,V-1,G·N,ΣC)
+        elif fetch == "bilinear":
+            # per-level 2×2-table bilinear gathers — no wide patch table,
+            # no fallback cond (vmap-safe); the measured in-situ winner at
+            # the DTU headline (see ops/sampling.py::fetch_features_perlevel)
+            src = fetch_features_perlevel(
+                [fmap[:, 1:] for fmap in levels], x, cams_levels[0][:, 1:],
+                reduce=reduce, out_dtype=self.src_dtype)
         else:
             src = fetch_features_multilevel(
                 [fmap[:, 1:] for fmap in levels], x,
@@ -304,8 +312,17 @@ class PointFlow(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         b, h, w = cur_depth.shape
         cr = self.chunk_rows
-        fetch = ("grouped" if self.fetch == "grouped"
-                 or (self.fetch == "auto" and not train) else "table")
+        if self.fetch == "auto":
+            # eval: per-level bilinear — the measured in-situ winner at the
+            # DTU headline (2026-08-19; it had been running all along as
+            # the grouped engine's whole-view span_miss fallback, 60 ms
+            # faster than the grouped fast path and now without the
+            # grouped path's index math + precheck). train: table (the
+            # grouped backward OOMs at the reference train config, and
+            # bilinear's 3-gather backward is unmeasured).
+            fetch = "bilinear" if not train else "table"
+        else:
+            fetch = self.fetch
         # Optional hoisted fallback decision (MODEL.FLOW_HOIST): prove "no
         # view misses" ONCE per map with the projection-only precheck, then
         # run the guard-free grouped fast path; a miss anywhere falls back
@@ -353,6 +370,12 @@ class PointFlow(nn.Module):
             band_rows = -(-(cr + 16 + self.fetch_margin) // 4) * 4
             if band_rows >= levels[0].shape[2]:
                 band_rows = 0
+        elif fetch == "bilinear":
+            # per-level 2×2 tables are built inside bilinear_sample (cheap
+            # fused pad+concat, band-independent); nothing to hoist
+            src_table = None
+            src_padded = None
+            band_rows = 0
         else:
             # the multilevel source patch table is band-independent — build
             # it once here so every band samples the same buffer (peak HBM
@@ -419,7 +442,7 @@ class PointFlow(nn.Module):
                                           src_padded, "fast"),
                     self)
             else:
-                out = run_bands(self, src_table, "table", 0, None, "cond")
+                out = run_bands(self, src_table, fetch, 0, None, "cond")
             bands = [out[i][:, y0 - lo: y0 - lo + cr]
                      for i, (y0, lo) in enumerate(zip(y0s, los))]
             return jnp.concatenate(bands, axis=1)

@@ -181,21 +181,39 @@ def _grouped_index(h0: int, w0: int, num_levels: int, points: jnp.ndarray,
     # when every gather_block of consecutive pixels spans < gather_span
     # table rows (epipolar coherence). Blocks that straddle more fold into
     # the per-view exact-fallback, like patch overflows.
+    #
+    # DEAD pixels (no hypothesis needs a texel in this view — behind the
+    # camera or fully outside) sit at the default corner origin
+    # (h0−1, w0−1), tens of thousands of table rows from their alive
+    # neighbors; left in place they blow up every block that straddles an
+    # image border and veto the WHOLE view (measured: span_miss fired on
+    # every band of every flow iteration at the DTU headline — the fast
+    # path never ran). Their gathered rows are don't-care (every tap is
+    # masked to 0 downstream), so snap them to the block's min alive index
+    # — the span then reflects only rows the view actually reads.
     n_rows_tab = sc * (w0 + 1)
     span_eff = min(gather_span, n_rows_tab)
+    alive = need.any(axis=2)                                   # (B, V, N)
     if gather_impl == "mxu":
         nb = -(-n // gather_block)
         pad_n = nb * gather_block - n
-        ib = row_idx
+        ib, ia = row_idx, alive
         if pad_n:
             # last-index padding keeps the final block coherent (mirrors
             # gather_rows_mxu's internal padding)
             ib = jnp.concatenate(
                 [ib, jnp.broadcast_to(ib[..., -1:], (b, v, pad_n))], axis=-1)
+            ia = jnp.concatenate(
+                [ia, jnp.broadcast_to(ia[..., -1:], (b, v, pad_n))], axis=-1)
         ib = ib.reshape(b, v, nb, gather_block)
+        ia = ia.reshape(b, v, nb, gather_block)
+        blockmin = jnp.min(jnp.where(ia, ib, _BIG), axis=-1)   # (B, V, nb)
+        blockmin = jnp.where(blockmin == _BIG, 0, blockmin)    # all-dead block
+        ib = jnp.where(ia, ib, blockmin[..., None])
         span_miss = ((jnp.max(ib, axis=-1) - jnp.min(ib, axis=-1))
                      >= span_eff).any(axis=-1)                  # (B, V)
         miss = miss | span_miss[..., None, None]
+        row_idx = ib.reshape(b, v, nb * gather_block)[..., :n]
     miss_v = jnp.any(miss.reshape(b, v, -1), axis=-1).any(axis=0)  # (V,)
     return dict(uv=uv, u=u, w_v=w_v, valid=valid, gval=gval,
                 gi0=gi0, gj0=gj0, i0c=i0c, j0c=j0c, oi=oi, oj=oj,

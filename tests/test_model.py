@@ -163,6 +163,25 @@ def test_flow_src_dtype_bf16_close(fwd):
         assert delta.max() < tol * d_int, (k, delta.max(), d_int)
 
 
+def test_flow_fetch_bilinear_matches(fwd):
+    """MODEL.FLOW_FETCH=bilinear (per-level 2×2-table engine) reproduces
+    the table engine end-to-end (same primitive, different composition)."""
+    cfg, model, variables, images, cams, _, _ = fwd
+    kwargs = dict(is_flow=True, img_scales=(0.25, 0.5),
+                  inter_scales=(0.75, 0.375), num_virtual_plane=D,
+                  train=False)
+    preds = {}
+    for fetch in ("table", "bilinear"):
+        cfg_f = tiny_cfg()
+        cfg_f.MODEL.FLOW_FETCH = fetch
+        model_f, _, _ = build_model(cfg_f)
+        preds[fetch] = model_f.apply(variables, images, cams, **kwargs)
+    for k in ("coarse_depth_map", "flow1", "flow2"):
+        np.testing.assert_allclose(np.asarray(preds["bilinear"][k]),
+                                   np.asarray(preds["table"][k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_coarse_only_forward(fwd):
     cfg, model, variables, images, cams, _, _ = fwd
     preds = model.apply(variables, images, cams, is_flow=False,

@@ -140,3 +140,31 @@ def test_fetch_features_ref_view_identity(rng):
     # source view samples are shifted versions — finite and mostly nonzero
     assert np.isfinite(out).all()
     assert (np.abs(out[0, 1]) > 0).mean() > 0.5
+
+
+def test_perlevel_matches_multilevel(rng):
+    """fetch_features_perlevel (per-level 2×2-table bilinear, the
+    grouped fetch's erstwhile fallback promoted to a first-class engine)
+    equals the combined-table path, stack and moments reductions."""
+    from pointmvsnet_tpu.ops.sampling import (
+        fetch_features_multilevel,
+        fetch_features_perlevel,
+    )
+    from tests.test_grouped_fetch import make_points, make_pyramid
+
+    levels, cams = make_pyramid(rng)
+    pts = make_points(rng, 1, 64, groups=5, spread=0.01)
+    ref = fetch_features_multilevel(levels, pts, cams)
+    got = fetch_features_perlevel(levels, pts, cams)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    s1, s2 = fetch_features_perlevel(levels, pts, cams, reduce="moments")
+    np.testing.assert_allclose(np.asarray(s1),
+                               np.asarray(ref).sum(axis=1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2),
+                               np.square(np.asarray(ref)).sum(axis=1),
+                               rtol=1e-5, atol=1e-6)
+    bf = fetch_features_perlevel(levels, pts, cams,
+                                 out_dtype=jnp.bfloat16)
+    assert bf.dtype == jnp.bfloat16
