@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-4 third-wave queue: land the outstanding VERDICT-r3 artifacts in
+# one TPU window, in judge-priority order:
+#   nan    — the B>=2 bf16+BN backward-NaN bisect (VERDICT r3 #3; six
+#            bounded steps: base repro, three ablation axes, HLO dump)
+#   bench  — full headline + BENCH_DETAILS (stages, V3_D48, batch2,
+#            train_step w/ breakdown) at the round-4 defaults
+#            (FLOW_FETCH=auto -> bilinear at eval)   (VERDICT r3 #2/#7)
+#   train  — train-step A/B table vs bilinear flow fetch (VERDICT r3 #5)
+#   tt     — 1280x1024 scaling re-measure on the promoted bilinear engine
+#            (VERDICT r3 #2's post-fix number; the 2026-08-19 5.997 s/map
+#            was measured before the bilinear promotion)
+# Logs land in $OUT (default /tmp/tpuq_r4c). Steps independent/idempotent.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${OUT:-/tmp/tpuq_r4c}
+mkdir -p "$OUT"
+
+log() { echo "[$(date -u +%FT%TZ)] $*" | tee -a "$OUT/queue.log"; }
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  log "START $name: $*"
+  timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1
+  log "END   $name exit=$? (tail: $(tail -1 "$OUT/$name.log" 2>/dev/null | cut -c1-200))"
+}
+
+want() { [ $# -eq 0 ] && return 0; for s in "$@"; do [ "$s" = "$STEP" ] && return 0; done; return 1; }
+
+STEP=nan; if want "$@"; then
+  run nan_base    700 python debug/nan_bisect.py --steps 6
+  run nan_bnfree  700 python debug/nan_bisect.py --ablate bn_free_flow
+  run nan_f32var  700 python debug/nan_bisect.py --ablate f32_var
+  run nan_sgsoft  700 python debug/nan_bisect.py --ablate sg_softmax_in
+  run nan_sgedge  700 python debug/nan_bisect.py --ablate sg_edge_in
+  run nan_hlo     700 python debug/nan_bisect.py --steps 2 --dump_hlo "$OUT/nan_step.hlo"
+fi
+STEP=bench; want "$@" && run bench       3000 env BENCH_DETAILS=1 python bench.py
+STEP=train; want "$@" && run train_ab    1800 python benchmarks/train_fetch_bench.py table bilinear
+STEP=tt;    want "$@" && run tt_sweep    1800 python benchmarks/tt_sweep.py
+log "QUEUE DONE"
