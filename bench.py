@@ -297,6 +297,15 @@ def main():
             return {"maps_per_sec": mpsb, "latency_s_per_batch": latb}
         section("V5_D96_batch2", _batch2)
 
+        # analytic roofline: per-stage FLOPs/bytes/gather-rows vs v5e
+        # peaks, joined with the measured in-situ marginals (VERDICT r4 #9)
+        def _roofline():
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "benchmarks"))
+            from roofline import roofline_table
+            return roofline_table()
+        section("roofline", _roofline)
+
         # training throughput at the reference train config (V=3, D=48,
         # 640x512 inputs, scales 0.25/0.5, masked loss, RMSprop)
         section("train_step", lambda: measure_train_step(with_stages=True))

@@ -12,16 +12,28 @@
 #            was measured before the bilinear promotion)
 # Logs land in $OUT (default /tmp/tpuq_r4c). Steps independent/idempotent.
 set -u
-cd "$(dirname "$0")/.."
+cd "$(dirname "$0")/.." || exit 1
 OUT=${OUT:-/tmp/tpuq_r4c}
 mkdir -p "$OUT"
 
+# validate step-name args up front (ADVICE r4: a typo used to run zero
+# steps and still log QUEUE DONE, silently wasting a TPU window)
+KNOWN="nan bench train tt"
+for a in "$@"; do
+  case " $KNOWN " in
+    *" $a "*) ;;
+    *) echo "unknown step '$a' (known: $KNOWN)" >&2; exit 2 ;;
+  esac
+done
+
+FAILS=0
 log() { echo "[$(date -u +%FT%TZ)] $*" | tee -a "$OUT/queue.log"; }
 run() { # run <name> <timeout_s> <cmd...>
-  local name=$1 tmo=$2; shift 2
+  local name=$1 tmo=$2 rc; shift 2
   log "START $name: $*"
-  timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1
-  log "END   $name exit=$? (tail: $(tail -1 "$OUT/$name.log" 2>/dev/null | cut -c1-200))"
+  timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1; rc=$?
+  [ "$rc" -ne 0 ] && FAILS=$((FAILS + 1))
+  log "END   $name exit=$rc (tail: $(tail -1 "$OUT/$name.log" 2>/dev/null | cut -c1-200))"
 }
 
 want() { [ $# -eq 0 ] && return 0; for s in "$@"; do [ "$s" = "$STEP" ] && return 0; done; return 1; }
@@ -37,4 +49,5 @@ fi
 STEP=bench; want "$@" && run bench       3000 env BENCH_DETAILS=1 python bench.py
 STEP=train; want "$@" && run train_ab    1800 python benchmarks/train_fetch_bench.py table bilinear
 STEP=tt;    want "$@" && run tt_sweep    1800 python benchmarks/tt_sweep.py
-log "QUEUE DONE"
+log "QUEUE DONE ($FAILS step(s) failed)"
+[ "$FAILS" -eq 0 ] || exit 1

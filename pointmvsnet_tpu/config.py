@@ -239,17 +239,25 @@ def get_default_cfg() -> CfgNode:
                                              # on the VPU) | "bilinear" (per-level
                                              # 2x2-table gathers — no fallback
                                              # cond, smallest working set) |
-                                             # "auto" (grouped at eval, table
-                                             # under training)
+                                             # "auto" — resolves per mode in
+                                             # PointFlow.__call__ (the single
+                                             # source of truth, kept at the
+                                             # measured full-pipeline winner;
+                                             # see benchmarks/results/
+                                             # fetch_ab_r5.json)
     _C.MODEL.COARSE_FETCH = "mxu"            # plane-sweep warp gather: "mxu"
                                              # (slab-matmul gather, exact
                                              # per-view fallback) | "take"
                                              # (hardware row gather)
     _C.MODEL.FLOW_GATHER = "mxu"             # grouped-fetch row gather: "mxu"
                                              # (slab-matmul gather) | "take"
-                                             # (hardware row gather; ~2 ms/band
-                                             # faster standalone but 60 ms
-                                             # SLOWER in situ — 2026-08-19 A/B)
+                                             # (hardware row gather). Only
+                                             # used when FLOW_FETCH resolves
+                                             # to "grouped". NOTE: the r4
+                                             # "60 ms slower in situ" A/B was
+                                             # taken under the span_miss bug
+                                             # (the grouped path never ran) —
+                                             # treat it as unmeasured.
     _C.MODEL.FLOW_HOIST = False              # hoist the grouped-fallback
                                              # decision to map level (measured
                                              # slower than the per-view cond

@@ -275,13 +275,17 @@ def test_eval_settings_v5_d96_three_flow(rng):
         assert (arr > lo).all() and (arr < hi).all(), k
 
 
-def test_chunked_flow_exact_with_bn_eval(rng):
+@pytest.mark.parametrize("fetch", ["bilinear", "table"])
+def test_chunked_flow_exact_with_bn_eval(rng, fetch):
     """Row-banded PointFlow must be bit-identical to the unchunked pass in
-    BN eval mode (running stats; halo covers the kNN window)."""
+    BN eval mode (running stats; halo covers the kNN window). Parametrized
+    over the fetch engine so the shipped eval default ("bilinear") has an
+    explicit banding-equality test (VERDICT r4 #6)."""
     import jax
     import jax.numpy as jnp
     cfg = tiny_cfg()
     cfg.MODEL.NORM = "bn"
+    cfg.MODEL.FLOW_FETCH = fetch
     images, cams, _ = make_batch(np.random.RandomState(1))
     kw = dict(is_flow=True, img_scales=(0.25, 0.5),
               inter_scales=(0.75, 0.375), num_virtual_plane=D, train=False)
