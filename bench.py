@@ -60,12 +60,8 @@ def build(norm="bn", dtype="bfloat16", chunk_rows=128, fetch=None):
     if fetch is None:
         fetch = os.environ.get("BENCH_FETCH", cfg.MODEL.FLOW_FETCH)
     cfg.MODEL.FLOW_FETCH = fetch
-    if os.environ.get("BENCH_FLOW_GATHER"):  # A/B the grouped row gather
-        cfg.MODEL.FLOW_GATHER = os.environ["BENCH_FLOW_GATHER"]
     if os.environ.get("BENCH_MOMENTS"):      # A/B the fused view moments
         cfg.MODEL.FLOW_MOMENTS = True
-    if os.environ.get("BENCH_EXTRACT"):      # A/B the grouped tap extraction
-        cfg.MODEL.FLOW_EXTRACT = os.environ["BENCH_EXTRACT"]
     if os.environ.get("BENCH_SRC_DTYPE"):    # A/B the source-feature dtype
         cfg.MODEL.FLOW_SRC_DTYPE = os.environ["BENCH_SRC_DTYPE"]
     if os.environ.get("BENCH_COARSE_FETCH"):  # A/B the plane-sweep warp

@@ -13,7 +13,7 @@ Stubs:
   nopyr   : PointMVSNet._pyramid -> zeros                      [flow-scale ImageConv off]
   noref   : regular_grid_sample -> zeros                       [ref-view resample off]
   nosweep : plane_sweep_volume -> zeros                        [coarse warp off]
-  nofetch : both source-view fetch engines -> zeros            [grouped/table fetch off]
+  nofetch : both source-view fetch engines -> zeros            [bilinear/table fetch off]
   noedge  : EdgeConv -> zeros                                  [full EdgeConv stack off]
   nohead  : SharedMLP -> zeros                                 [flow MLP head off]
   novol   : VolumeConv -> zeros                                [coarse 3D U-Net off]
@@ -43,7 +43,7 @@ orig_wmax = pe.masked_window_max
 orig_pyr = pm.PointMVSNet._pyramid
 orig_ref = pm.regular_grid_sample
 orig_sweep = pm.plane_sweep_volume
-orig_grouped = pm.fetch_features_grouped
+orig_perlevel = pm.fetch_features_perlevel
 orig_multilevel = pm.fetch_features_multilevel
 orig_edge = pm.EdgeConv
 orig_head = pm.SharedMLP
@@ -73,7 +73,7 @@ def set_stub(name):
     pm.PointMVSNet._pyramid = orig_pyr
     pm.regular_grid_sample = orig_ref
     pm.plane_sweep_volume = orig_sweep
-    pm.fetch_features_grouped = orig_grouped
+    pm.fetch_features_perlevel = orig_perlevel
     pm.fetch_features_multilevel = orig_multilevel
     pm.EdgeConv = orig_edge
     pm.SharedMLP = orig_head
@@ -91,8 +91,8 @@ def set_stub(name):
                 return s, s
             return (jnp.zeros((b, nv, gn, sc), dt)
                     + _dep0(dt, x, *levels))
-        pm.fetch_features_grouped = (
-            lambda levels, x, cams, groups=5, **kw: fetch_stub(
+        pm.fetch_features_perlevel = (
+            lambda levels, x, cams, **kw: fetch_stub(
                 levels, x, cams, **kw))
         pm.fetch_features_multilevel = (
             lambda levels, x, cams, table=None, **kw: fetch_stub(
@@ -184,7 +184,7 @@ def main():
     names = sys.argv[1:] or ["full", "noknn", "nowmax", "nopyr", "noref"]
     for name in names:
         set_stub(name)
-        cfg, _ = build(fetch="grouped")
+        cfg, _ = build()
         model, _, _ = build_model(cfg)
         variables = model.init(jax.random.PRNGKey(0),
                                *make_inputs(1, 2, 64, 64, 8),

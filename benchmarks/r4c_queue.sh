@@ -39,12 +39,12 @@ run() { # run <name> <timeout_s> <cmd...>
 want() { [ $# -eq 0 ] && return 0; for s in "$@"; do [ "$s" = "$STEP" ] && return 0; done; return 1; }
 
 STEP=nan; if want "$@"; then
-  run nan_base    700 python debug/nan_bisect.py --steps 6
-  run nan_bnfree  700 python debug/nan_bisect.py --ablate bn_free_flow
-  run nan_f32var  700 python debug/nan_bisect.py --ablate f32_var
-  run nan_sgsoft  700 python debug/nan_bisect.py --ablate sg_softmax_in
-  run nan_sgedge  700 python debug/nan_bisect.py --ablate sg_edge_in
-  run nan_hlo     700 python debug/nan_bisect.py --steps 2 --dump_hlo "$OUT/nan_step.hlo"
+  run nan_base   1600 python debug/nan_bisect.py --steps 6
+  run nan_bnfree 1600 python debug/nan_bisect.py --ablate bn_free_flow
+  run nan_f32var 1600 python debug/nan_bisect.py --ablate f32_var
+  run nan_sgsoft 1600 python debug/nan_bisect.py --ablate sg_softmax_in
+  run nan_sgedge 1600 python debug/nan_bisect.py --ablate sg_edge_in
+  run nan_hlo    1600 python debug/nan_bisect.py --steps 2 --dump_hlo "$OUT/nan_step.hlo"
 fi
 STEP=bench; want "$@" && run bench       3000 env BENCH_DETAILS=1 python bench.py
 STEP=train; want "$@" && run train_ab    1800 python benchmarks/train_fetch_bench.py table bilinear

@@ -14,7 +14,8 @@ Writes benchmarks/results/fetch_ab_r5.json after EVERY engine (atomic),
 so a timeout mid-queue still leaves a usable partial record.
 
 Run from the repo root:  python benchmarks/r5_fetch_ab.py [engines...]
-Default engine order: bilinear table grouped bilinear(repeat).
+Default engine order: bilinear table bilinear(repeat). ("grouped" was a
+valid engine when the committed r5 record was taken; excised since.)
 """
 
 from __future__ import annotations
@@ -42,7 +43,7 @@ def _flush(rec):
 def main():
     import jax
 
-    engines = sys.argv[1:] or ["bilinear", "table", "grouped", "bilinear"]
+    engines = sys.argv[1:] or ["bilinear", "table", "bilinear"]
 
     t0 = time.perf_counter()
     done = bench._device_watchdog(420.0)

@@ -116,8 +116,9 @@ def roofline_table(h=512, w=640, v=5, d=96, g=5, base_c=8,
                       + src * gn * row_bytes),              # gathered rows
         gather_rows=src * gn,
         note="table engine: 1 wide row gather per (src view, hypothesis "
-             "point); bilinear engine = 3 narrow gathers -> 3x rows; "
-             "grouped engine = rows/G. Binding resource is row latency.")
+             "point); bilinear engine = 3 narrow gathers -> 3x rows (yet "
+             "measured faster in situ — smaller tables/working set). "
+             "Binding resource is row latency.")
     add("ref_resample",
         flops=2 * n * (w * 2 + h * 2) * sum_c // 100,       # separable matmuls
         stream_bytes=g * n * sum_c * 4,

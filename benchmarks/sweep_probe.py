@@ -40,7 +40,7 @@ def main():
     d_min, d_int, _, _ = cam_depth_range(cams[:, 0])
     depths = depth_hypotheses(d_min, d_int, D)
 
-    impls = sys.argv[1:] or ["take", "mxu", "grouped"]
+    impls = sys.argv[1:] or ["take", "mxu"]
     results = {}
     ref = None
     for impl in impls:

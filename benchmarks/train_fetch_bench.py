@@ -1,8 +1,8 @@
 """Train-step latency A/B at the reference train config (V=3, D=48,
-640x512, scales .25/.5, bf16+BN+REMAT, B=1): table vs grouped flow fetch
+640x512, scales .25/.5, bf16+BN+REMAT, B=1): table vs bilinear flow fetch
 (MODEL.FLOW_FETCH), under the default remat-with-knn-save policy.
 
-Run on the real chip:  python benchmarks/train_fetch_bench.py [table|grouped ...]
+Run on the real chip:  python benchmarks/train_fetch_bench.py [table|bilinear ...]
 """
 import json
 import os
@@ -21,7 +21,7 @@ from bench import measure_train_step
 def main():
     results = {}
     orig_build = bench.build
-    for fetch in (sys.argv[1:] or ["table", "grouped"]):
+    for fetch in (sys.argv[1:] or ["table", "bilinear"]):
         def build_f(norm="bn", dtype="bfloat16", chunk_rows=128,
                     fetch_=fetch, **kw):
             return orig_build(norm, dtype, chunk_rows, fetch=fetch_)

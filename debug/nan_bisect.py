@@ -27,11 +27,14 @@ edge convs -> variance/fetch -> pyramids -> img_conv).
 from __future__ import annotations
 
 import argparse
+import functools
 import sys
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+
+print = functools.partial(print, flush=True)  # timeout-killed runs keep logs
 
 
 def grad_report(grads, prefix=""):
@@ -141,6 +144,51 @@ def apply_ablations(names):
             pm.fetch_features_multilevel = f32fetch
             pm.regular_grid_sample = f32ref
             notes.append("variance feature computed in f32")
+        elif name == "sg_flow_depth":
+            # cut the cotangent flowing from the flow stages back into
+            # coarse_depth (the only 3-D resize in the model is the flow
+            # input depth; _resize_views is 5-D). If vol_conv goes clean
+            # under this, the NaN originates flow-side and merely floods
+            # everything upstream of coarse_depth in the backward.
+            orig_rs = jax.image.resize
+
+            def rs_sg(x, shape, method="linear", **k):
+                if getattr(x, "ndim", 0) == 3:
+                    x = jax.lax.stop_gradient(x)
+                return orig_rs(x, shape, method=method, **k)
+
+            jax.image.resize = rs_sg
+            notes.append("stop_gradient flow->coarse_depth (3-D resize)")
+        elif name == "sg_cost":
+            # cut the backward between vol_conv and the cost volume /
+            # pyramids: isolates whether img_conv badness is all
+            # propagated through the cost path
+            orig_psv = pm.plane_sweep_volume
+
+            def psv_sg(*a, **k):
+                return jax.lax.stop_gradient(orig_psv(*a, **k))
+
+            pm.plane_sweep_volume = psv_sg
+            notes.append("stop_gradient on the plane-sweep cost volume")
+        elif name == "bn_free_coarse":
+            # vol_conv with norm="none" (flow keeps BN): does the NaN live
+            # in the volume U-Net's BatchNorm backward?
+            orig_vc = pm.VolumeConv
+
+            def vc_nonorm(ch, norm="bn", dtype=None, *a, **k):
+                return orig_vc(ch, "none", dtype, *a, **k)
+
+            pm.VolumeConv = vc_nonorm
+            notes.append("vol_conv norm=none (flow keeps bn)")
+        elif name == "f32_vol":
+            # the volume U-Net in f32 (bf16 3-D conv backward suspect)
+            orig_vc2 = pm.VolumeConv
+
+            def vc_f32(ch, norm="bn", dtype=None, *a, **k):
+                return orig_vc2(ch, norm, jnp.float32, *a, **k)
+
+            pm.VolumeConv = vc_f32
+            notes.append("vol_conv in f32 (input cast by the module)")
         elif name == "sg_softmax_in":
             # cut the backward through the flow softmax/expectation head
             orig_sm2 = jax.nn.softmax

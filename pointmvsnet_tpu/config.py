@@ -233,50 +233,35 @@ def get_default_cfg() -> CfgNode:
                                              # 128 is optimal for full-res eval on v5e)
     _C.MODEL.REMAT = False                   # jax.checkpoint the flow stages
     _C.MODEL.FLOW_FETCH = "auto"             # PointFlow source fetch kernel:
-                                             # "table" (combined-table gather per
-                                             # hypothesis) | "grouped" (one patch
-                                             # row per PIXEL, hypotheses rebuilt
-                                             # on the VPU) | "bilinear" (per-level
-                                             # 2x2-table gathers — no fallback
-                                             # cond, smallest working set) |
-                                             # "auto" — resolves per mode in
+                                             # "table" (ONE combined-table
+                                             # gather per hypothesis point) |
+                                             # "bilinear" (per-level 2x2-table
+                                             # gathers — smallest working set,
+                                             # the measured full-pipeline
+                                             # winner at eval: 219 vs 311 ms,
+                                             # benchmarks/results/
+                                             # fetch_ab_r5.json) | "auto" —
+                                             # resolves per mode in
                                              # PointFlow.__call__ (the single
                                              # source of truth, kept at the
-                                             # measured full-pipeline winner;
-                                             # see benchmarks/results/
-                                             # fetch_ab_r5.json)
+                                             # measured winner). A pixel-
+                                             # grouped third engine was
+                                             # measured slower everywhere and
+                                             # excised in round 5 (see
+                                             # docs/STATUS.md).
     _C.MODEL.COARSE_FETCH = "mxu"            # plane-sweep warp gather: "mxu"
                                              # (slab-matmul gather, exact
                                              # per-view fallback) | "take"
                                              # (hardware row gather)
-    _C.MODEL.FLOW_GATHER = "mxu"             # grouped-fetch row gather: "mxu"
-                                             # (slab-matmul gather) | "take"
-                                             # (hardware row gather). Only
-                                             # used when FLOW_FETCH resolves
-                                             # to "grouped". NOTE: the r4
-                                             # "60 ms slower in situ" A/B was
-                                             # taken under the span_miss bug
-                                             # (the grouped path never ran) —
-                                             # treat it as unmeasured.
-    _C.MODEL.FLOW_HOIST = False              # hoist the grouped-fallback
-                                             # decision to map level (measured
-                                             # slower than the per-view cond
-                                             # on one chip; the band mesh
-                                             # always hoists regardless)
     _C.MODEL.FLOW_MOMENTS = False            # fuse the view-variance moments
                                              # into the fetch (per-view Σf/Σf²
                                              # f32 accumulation — the stacked
                                              # (V,G·N,ΣC) tensor never
                                              # materializes; slightly MORE
                                              # precise than the stacked bf16
-                                             # square-sum)
-    _C.MODEL.FLOW_EXTRACT = "onehot"         # grouped-fetch tap extraction:
-                                             # "onehot" (per-tap one-hot dots
-                                             # + separate mask/lerp) |
-                                             # "weighted" (factored one-hot ×
-                                             # weight contraction — fewer
-                                             # elementwise ops, ~1 ulp
-                                             # reassociation difference)
+                                             # square-sum, but measured 3x
+                                             # slower at headline shapes —
+                                             # kept as a gated precision knob)
     _C.MODEL.FLOW_SRC_DTYPE = ""             # per-view source-feature dtype
                                              # for the flow fetch: "" (f32) |
                                              # "bfloat16" (halves the stacked

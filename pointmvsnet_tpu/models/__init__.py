@@ -58,11 +58,8 @@ def build_pointmvsnet(cfg, band_mesh=None,
         band_mesh=band_mesh,
         view_mesh=view_mesh,
         flow_fetch=cfg.MODEL.FLOW_FETCH,
-        flow_gather=cfg.MODEL.FLOW_GATHER,
-        flow_hoist=cfg.MODEL.FLOW_HOIST,
         coarse_fetch=cfg.MODEL.COARSE_FETCH,
         flow_moments=cfg.MODEL.FLOW_MOMENTS,
-        flow_extract=cfg.MODEL.FLOW_EXTRACT,
         flow_src_dtype=(jnp.dtype(cfg.MODEL.FLOW_SRC_DTYPE)
                         if cfg.MODEL.FLOW_SRC_DTYPE else None),
     )

@@ -42,11 +42,6 @@ from pointmvsnet_tpu.ops.geometry import (
     pixel_grid,
     unproject_pixels,
 )
-from pointmvsnet_tpu.ops.grouped_fetch import (
-    fetch_features_grouped,
-    grouped_miss_any,
-    pad_levels,
-)
 from pointmvsnet_tpu.ops.knn import window_knn_auto, window_knn_mask_auto
 from pointmvsnet_tpu.ops.sampling import (
     build_multilevel_table,
@@ -76,9 +71,7 @@ def hypothesis_points(cur_depth: jnp.ndarray, step: jnp.ndarray, m: int,
                       y_offset=0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Hypothesis points along the ref viewing ray for a (band of a) depth
     map: cur_depth (B, h, w) → (pts (B, G·N, 3) g-major, hyp_depth
-    (B, G, N)), G = 2m+1. Shared by PointFlowCore and the band-mesh
-    grouped-fetch miss precheck (PointFlow.__call__) — the precheck must
-    see the IDENTICAL points the core will fetch with."""
+    (B, G, N)), G = 2m+1."""
     b, h, w = cur_depth.shape
     g = 2 * m + 1
     n = h * w
@@ -109,10 +102,7 @@ class PointFlowCore(nn.Module):
     norm: str = "bn"
     dtype: jnp.dtype = jnp.float32
     knn_impl: str = "auto"
-    fetch_patch: int = 4
-    fetch_gather: str = "mxu"
     moments: bool = False
-    fetch_extract: str = "onehot"   # grouped tap extraction: "onehot" | "weighted"
     src_dtype: object = None        # cast per-view source features (e.g. bf16)
 
     @nn.compact
@@ -121,22 +111,19 @@ class PointFlowCore(nn.Module):
                  y_offset: int = 0, full_h: int = 0,
                  train: bool = False,
                  src_table: jnp.ndarray | None = None,
-                 fetch: str = "table", band_rows: int = 0,
-                 src_padded: List[jnp.ndarray] | None = None,
-                 fetch_mode: str = "cond") -> jnp.ndarray:
+                 fetch: str = "table") -> jnp.ndarray:
         """cur_depth (B, h, w) is rows [y_offset, y_offset+h) of the full
         flow-resolution depth map (height ``full_h``, defaulting to h);
         ``src_table`` is the precomputed multilevel patch table over the
         source views (shared across bands); ``fetch`` selects the source
-        fetch kernel ("table" = one combined-table gather per hypothesis
-        point; "grouped" = one patch row per PIXEL, hypotheses
-        reconstructed on the VPU — G× fewer gather rows); ``src_padded``
-        / ``band_rows`` are the grouped path's hoisted padded pyramid and
-        band-local table height; ``fetch_mode`` ("cond" | "fast") guards
-        or skips the grouped path's per-view exact fallback ("fast" is
-        for vmapped callers that proved ``grouped_miss_any`` False —
-        under vmap a cond lowers to a both-branches select). Returns the
-        refined band."""
+        fetch kernel ("table" = ONE combined-table gather per hypothesis
+        point; "bilinear" = per-level 2×2-table gathers — the measured
+        full-pipeline winner, see benchmarks/results/fetch_ab_r5.json).
+        A pixel-grouped third engine (one patch row per PIXEL, hypotheses
+        reconstructed on the VPU) was built, measured, and excised in
+        round 5: it lost to "bilinear" at eval (279 vs 219 ms/map) and
+        OOM'd under the train backward — see docs/STATUS.md and git
+        history of ops/grouped_fetch.py. Returns the refined band."""
         b, h, w = cur_depth.shape
         g = 2 * self.m + 1
         n = h * w
@@ -167,18 +154,8 @@ class PointFlowCore(nn.Module):
         # All 3 pyramid levels in ONE gather per source view (bit-exact to
         # per-level fetches — see fetch_features_multilevel); variance over
         # views is per-channel, so concat-then-reduce == reduce-then-concat.
-        # The grouped variant exploits x's g-major layout: the G hypotheses
-        # of a pixel share one epipolar patch row (ops/grouped_fetch.py).
         reduce = "moments" if self.moments else "stack"
-        if fetch == "grouped":
-            src = fetch_features_grouped(
-                [fmap[:, 1:] for fmap in levels], x, cams_levels[0][:, 1:],
-                groups=g, p0=self.fetch_patch, padded=src_padded,
-                band_rows=band_rows, gather_impl=self.fetch_gather,
-                mode=fetch_mode,
-                reduce=reduce, extract=self.fetch_extract,
-                out_dtype=self.src_dtype)                             # (B,V-1,G·N,ΣC)
-        elif fetch == "bilinear":
+        if fetch == "bilinear":
             # per-level 2×2-table bilinear gathers — no wide patch table,
             # no fallback cond (vmap-safe); the measured in-situ winner at
             # the DTU headline (see ops/sampling.py::fetch_features_perlevel)
@@ -277,14 +254,8 @@ class PointFlow(nn.Module):
     chunk_rows: int = 0
     remat: bool = False
     band_mesh: object = None   # jax.sharding.Mesh with a "band" axis, or None
-    fetch: str = "table"       # "table" | "grouped" | "auto" (grouped at eval)
-    fetch_patch: int = 4       # grouped-fetch patch edge (560ch=1120B rows at
-                               # p0=4/C=(8,16,32) — the widest flat-cost row)
-    fetch_margin: int = 24     # extra band-local source rows beyond the band
-    fetch_gather: str = "mxu"  # grouped-fetch row gather: "mxu" | "take"
-    fetch_hoist: bool = False  # hoist the fallback decision to map level
+    fetch: str = "auto"        # "table" | "bilinear" | "auto"
     moments: bool = False      # per-view Σf/Σf² accumulation (MODEL.FLOW_MOMENTS)
-    fetch_extract: str = "onehot"  # grouped tap extraction (MODEL.FLOW_EXTRACT)
     src_dtype: object = None   # per-view source-feature dtype (MODEL.FLOW_SRC_DTYPE)
 
     def setup(self):
@@ -296,15 +267,12 @@ class PointFlow(nn.Module):
             # idx/mask — cheap to store, expensive to recompute); everything
             # else rematerializes as with the default nothing-saved policy.
             core_cls = nn.remat(
-                PointFlowCore, static_argnums=(6, 7, 8, 10, 11, 13),
+                PointFlowCore, static_argnums=(6, 7, 8, 10),
                 policy=jax.checkpoint_policies.save_only_these_names("knn"))
         self.core = core_cls(self.edge_channels, self.flow_channels,
                              self.m, self.k, self.window, self.norm,
                              self.dtype, self.knn_impl,
-                             fetch_patch=self.fetch_patch,
-                             fetch_gather=self.fetch_gather,
                              moments=self.moments,
-                             fetch_extract=self.fetch_extract,
                              src_dtype=self.src_dtype)
 
     def __call__(self, levels: List[jnp.ndarray], cams_levels: List[jnp.ndarray],
@@ -313,76 +281,33 @@ class PointFlow(nn.Module):
         b, h, w = cur_depth.shape
         cr = self.chunk_rows
         if self.fetch == "auto":
-            # eval: per-level bilinear — the measured in-situ winner at the
-            # DTU headline (2026-08-19; it had been running all along as
-            # the grouped engine's whole-view span_miss fallback, 60 ms
-            # faster than the grouped fast path and now without the
-            # grouped path's index math + precheck). train: table (the
-            # grouped backward OOMs at the reference train config, and
-            # bilinear's 3-gather backward is unmeasured).
+            # eval: per-level bilinear — the measured full-pipeline winner
+            # at the DTU headline (r5 same-session A/B, 219 vs table's
+            # 311 ms/map — benchmarks/results/fetch_ab_r5.json). train:
+            # table, pending the on-chip backward A/B
+            # (benchmarks/train_fetch_bench.py takes engine names).
             fetch = "bilinear" if not train else "table"
         else:
             fetch = self.fetch
-        # Optional hoisted fallback decision (MODEL.FLOW_HOIST): prove "no
-        # view misses" ONCE per map with the projection-only precheck, then
-        # run the guard-free grouped fast path; a miss anywhere falls back
-        # to the exact table kernel for the WHOLE map. Measured on-chip
-        # (2026-08-19, headline config): the per-view lax.cond executes one
-        # branch and costs ~nothing, while the hoist's per-band precheck
-        # REGRESSED the pipeline 267 → 301 ms — so this defaults OFF for
-        # single-chip paths. The band-mesh path below always hoists: under
-        # its nn.vmap a cond would lower to a both-branches select.
-        hoist = (self.fetch_hoist and fetch == "grouped" and not train
-                 and not self.remat)
-
-        def miss_one(depth_b, lo_b, band_rows_b):
-            x, _ = hypothesis_points(depth_b, step, self.m, ref_cam, lo_b)
-            return grouped_miss_any(
-                [f[:, 1:] for f in levels], x, cams_levels[0][:, 1:],
-                2 * self.m + 1, p0=self.fetch_patch, band_rows=band_rows_b,
-                gather_impl=self.fetch_gather)
+        if fetch not in ("table", "bilinear"):
+            raise ValueError(
+                f"MODEL.FLOW_FETCH={fetch!r}: valid engines are 'table', "
+                f"'bilinear', 'auto' (the pixel-'grouped' engine was "
+                f"excised in round 5 — measured slower at eval, OOM at "
+                f"train; see docs/STATUS.md)")
 
         if cr <= 0 or h <= cr + 16:  # too short to band (bs = cr + 2·halo)
-            if hoist:
-                padded = pad_levels([f[:, 1:] for f in levels],
-                                    self.fetch_patch)
-                return nn.cond(
-                    miss_one(cur_depth, 0, 0),
-                    lambda mdl: mdl.core(
-                        levels, cams_levels, ref_cam, cur_depth, step, 0, h,
-                        train,
-                        build_multilevel_table([f[:, 1:] for f in levels]),
-                        "table", 0, None, "cond"),
-                    lambda mdl: mdl.core(
-                        levels, cams_levels, ref_cam, cur_depth, step, 0, h,
-                        train, None, "grouped", 0, padded, "fast"),
-                    self)
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,
-                             0, h, train, None, fetch, 0, None, "cond")
-        if fetch == "grouped":
-            # grouped path: hoist the padded pyramid (≈1.1× the feature
-            # maps); each band builds its own band-local patch table over
-            # a runtime vertical slice, so peak table HBM is bounded by
-            # the band height, not the image height
-            src_table = None
-            src_padded = pad_levels([f[:, 1:] for f in levels],
-                                    self.fetch_patch)
-            band_rows = -(-(cr + 16 + self.fetch_margin) // 4) * 4
-            if band_rows >= levels[0].shape[2]:
-                band_rows = 0
-        elif fetch == "bilinear":
+                             0, h, train, None, fetch)
+        if fetch == "bilinear":
             # per-level 2×2 tables are built inside bilinear_sample (cheap
             # fused pad+concat, band-independent); nothing to hoist
             src_table = None
-            src_padded = None
-            band_rows = 0
         else:
             # the multilevel source patch table is band-independent — build
             # it once here so every band samples the same buffer (peak HBM
             # stays one table, and the queued eval stream doesn't rebuild it)
             src_table = build_multilevel_table([f[:, 1:] for f in levels])
-            src_padded = None
-            band_rows = 0
         assert h % cr == 0 and cr % 8 == 0, (
             f"FLOW_CHUNK_ROWS={cr} must divide the flow height {h} and be a "
             f"multiple of 8")
@@ -410,67 +335,26 @@ class PointFlow(nn.Module):
             stacked = jax.lax.with_sharding_constraint(stacked, spec)
             lo_arr = jnp.asarray(los, jnp.int32)
 
-            def run_bands(mdl, table_b, fetch_b, band_rows_b, padded_b,
-                          mode_b):
-                out = nn.vmap(
-                    lambda core, depth_b, lo_b: core(
-                        levels, cams_levels, ref_cam, depth_b, step, lo_b,
-                        h, train, table_b, fetch_b, band_rows_b, padded_b,
-                        mode_b),
-                    in_axes=(0, 0), out_axes=0,
-                    variable_axes={"params": None, "batch_stats": None},
-                    split_rngs={"params": False},
-                )(mdl.core, stacked, lo_arr)               # (P, B, bs, w)
-                return jax.lax.with_sharding_constraint(out, spec)
-
-            if fetch == "grouped":
-                # same hoisted decision (VERDICT r3 #4); under the band
-                # vmap the per-view lax.cond would additionally lower to a
-                # both-branches select, so the hoist is mandatory here
-                # (whole-map fallback granularity is the price of composing
-                # grouped fetch with the band mesh — rare on real geometry).
-                any_miss = jax.vmap(
-                    lambda d, lo: miss_one(d, lo, band_rows)
-                )(stacked, lo_arr).any()
-                out = nn.cond(
-                    any_miss,
-                    lambda mdl: run_bands(
-                        mdl,
-                        build_multilevel_table([f[:, 1:] for f in levels]),
-                        "table", 0, None, "cond"),
-                    lambda mdl: run_bands(mdl, None, "grouped", band_rows,
-                                          src_padded, "fast"),
-                    self)
-            else:
-                out = run_bands(self, src_table, fetch, 0, None, "cond")
+            out = nn.vmap(
+                lambda core, depth_b, lo_b: core(
+                    levels, cams_levels, ref_cam, depth_b, step, lo_b,
+                    h, train, src_table, fetch),
+                in_axes=(0, 0), out_axes=0,
+                variable_axes={"params": None, "batch_stats": None},
+                split_rngs={"params": False},
+            )(self.core, stacked, lo_arr)                  # (P, B, bs, w)
+            out = jax.lax.with_sharding_constraint(out, spec)
             bands = [out[i][:, y0 - lo: y0 - lo + cr]
                      for i, (y0, lo) in enumerate(zip(y0s, los))]
             return jnp.concatenate(bands, axis=1)
 
-        def run_loop(mdl, table_b, fetch_b, band_rows_b, padded_b, mode_b):
-            outs = []
-            for y0, lo in zip(y0s, los):
-                band = mdl.core(levels, cams_levels, ref_cam,
-                                cur_depth[:, lo:lo + bs], step, lo, h, train,
-                                table_b, fetch_b, band_rows_b, padded_b,
-                                mode_b)
-                outs.append(band[:, y0 - lo: y0 - lo + cr])
-            return jnp.concatenate(outs, axis=1)
-
-        if hoist:
-            any_miss = jnp.stack(
-                [miss_one(cur_depth[:, lo:lo + bs],
-                          jnp.asarray(lo, jnp.int32), band_rows)
-                 for lo in los]).any()
-            return nn.cond(
-                any_miss,
-                lambda mdl: run_loop(
-                    mdl, build_multilevel_table([f[:, 1:] for f in levels]),
-                    "table", 0, None, "cond"),
-                lambda mdl: run_loop(mdl, None, "grouped", band_rows,
-                                     src_padded, "fast"),
-                self)
-        return run_loop(self, src_table, fetch, band_rows, src_padded, "cond")
+        outs = []
+        for y0, lo in zip(y0s, los):
+            band = self.core(levels, cams_levels, ref_cam,
+                             cur_depth[:, lo:lo + bs], step, lo, h, train,
+                             src_table, fetch)
+            outs.append(band[:, y0 - lo: y0 - lo + cr])
+        return jnp.concatenate(outs, axis=1)
 
 
 class PointMVSNet(nn.Module):
@@ -491,13 +375,9 @@ class PointMVSNet(nn.Module):
     remat: bool = False
     band_mesh: object = None   # Mesh with a "band" axis → band-parallel flow
     view_mesh: object = None   # Mesh with a "view" axis → view-parallel cost
-    flow_fetch: str = "table"  # "table" | "grouped" | "auto" (grouped at eval)
-    flow_gather: str = "mxu"   # grouped-fetch row gather: "mxu" | "take"
-    flow_hoist: bool = False   # map-level grouped-fallback decision (measured
-                               # slower than the per-view cond on one chip)
+    flow_fetch: str = "auto"   # "table" | "bilinear" | "auto"
     coarse_fetch: str = "mxu"  # plane-sweep warp: "mxu" | "take"
     flow_moments: bool = False  # fused per-view moment accumulation
-    flow_extract: str = "onehot"  # grouped tap extraction: "onehot" | "weighted"
     flow_src_dtype: object = None  # per-view source-feature dtype (None = f32)
 
     def setup(self):
@@ -508,10 +388,7 @@ class PointMVSNet(nn.Module):
                                     self.norm, self.dtype, self.knn_impl,
                                     self.flow_chunk_rows, self.remat,
                                     self.band_mesh, fetch=self.flow_fetch,
-                                    fetch_gather=self.flow_gather,
-                                    fetch_hoist=self.flow_hoist,
                                     moments=self.flow_moments,
-                                    fetch_extract=self.flow_extract,
                                     src_dtype=self.flow_src_dtype)
 
     def _pyramid(self, images: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:

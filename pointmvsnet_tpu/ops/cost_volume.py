@@ -38,11 +38,9 @@ def plane_sweep_volume(feats: jnp.ndarray, cams: jnp.ndarray,
     depths: (B, D) hypothesis depths for the reference view
     impl:   "take" = hardware row gather; "mxu" = slab-matmul gather with
             per-view exact fallback (bit-identical, ~D× fewer row
-            latencies — the warp is the coarse stage's dominant cost);
-            "grouped" = depth-block-grouped epipolar-patch fetch (8
-            consecutive planes share ONE gathered patch row per pixel —
-            8× fewer rows again; equal to the per-point path up to fp
-            reassociation, per-view exact fallback on patch overflow)
+            latencies — the warp is the coarse stage's dominant cost).
+            A depth-block-grouped third impl was measured slower
+            standalone (43.7 vs 29.2 ms) and excised in round 5.
     → cost (B, D, h, w, C)
     """
     b, v, h, w, c = feats.shape
@@ -66,13 +64,8 @@ def plane_sweep_volume(feats: jnp.ndarray, cams: jnp.ndarray,
     ref_f = feats[:, 0].astype(jnp.float32).reshape(b, 1, h * w, c)
     ref_f = jnp.where((depths > 0)[..., None, None], ref_f, 0.0)
     ref_f = ref_f.reshape(b, d * h * w, c)
-    if impl == "grouped" and d % 8 == 0:
-        from pointmvsnet_tpu.ops.grouped_fetch import fetch_features_dgrouped
-        src = fetch_features_dgrouped(feats[:, 1:], pts, cams[:, 1:],
-                                      groups=8, npix=h * w)
-    else:
-        fetch = fetch_features_mxu if impl == "mxu" else fetch_features
-        src = fetch(feats[:, 1:], pts, cams[:, 1:])       # (B, V−1, D·h·w, C)
+    fetch = fetch_features_mxu if impl == "mxu" else fetch_features
+    src = fetch(feats[:, 1:], pts, cams[:, 1:])           # (B, V−1, D·h·w, C)
     mean = (ref_f + jnp.sum(src, axis=1)) / v
     sq_mean = (jnp.square(ref_f) + jnp.sum(jnp.square(src), axis=1)) / v
     var = sq_mean - jnp.square(mean)

@@ -21,7 +21,7 @@ bits equal the gathered row bits (for f32 tables likewise).
 
 Out-of-window indices (wild geometry, degenerate blocks) yield zero rows
 and are reported in the returned mask — callers keep their exact-fallback
-path (e.g. ``ops/grouped_fetch.py``'s per-view ``lax.cond``).
+path (e.g. ``ops/sampling.py::fetch_features_mxu``'s per-view ``lax.cond``).
 """
 
 from __future__ import annotations

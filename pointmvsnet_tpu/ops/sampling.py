@@ -275,13 +275,13 @@ def fetch_features_perlevel(levels: list, points: jnp.ndarray,
     gathers per view instead of the combined-table path's 1 wide one.
 
     Same taps/masks/weights as ``fetch_features_multilevel`` (it IS the
-    primitive the combined table is equivalence-tested against). Kept as
-    a first-class engine because it is the measured in-situ WINNER at the
-    DTU headline (2026-08-19: it was silently running as the grouped
-    fetch's whole-view fallback — span_miss fired on every band — and the
-    pipeline was 60 ms faster than with the grouped fast path active).
-    Its working set is the smallest of the three engines: per-level 2×2
-    tables (~1.3× the feature maps) and no wide patch rows.
+    primitive the combined table is equivalence-tested against). The
+    measured full-pipeline WINNER at the DTU headline and the eval
+    default (round-5 same-session A/B: 219 ms/map vs the combined
+    table's 311 and the excised pixel-grouped engine's 279 —
+    benchmarks/results/fetch_ab_r5.json). Its working set is the
+    smallest of the engines: per-level 2×2 tables (~1.3× the feature
+    maps) and no wide patch rows.
 
     levels: stride-2 pyramid [(B, V, h_l, w_l, C_l)]; cams at level-0
     resolution; points (B, N, 3). → (B, V, N, ΣC_l), or the f32
@@ -368,9 +368,8 @@ def fetch_features_mxu(feats: jnp.ndarray, points: jnp.ndarray,
         span = -(-span // 128) * 128
     span = min(span, rows_tab)
 
-    # per-(batch, view) span-overflow detection — mirrors grouped_fetch's
-    # rule so the cond picks the exact path whenever the MXU gather would
-    # zero a row
+    # per-(batch, view) span-overflow detection — the cond picks the exact
+    # path whenever the MXU gather would zero a row
     n = idx.shape[-1]
     nb = -(-n // block)
     pad_n = nb * block - n

@@ -119,38 +119,3 @@ def test_mxu_sweep_incoherent_fallback(rng):
     a = fetch_features(feats, pts, cams)
     b = fetch_features_mxu(feats, pts, cams, block=64, span=8)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
-
-
-def test_dgrouped_sweep_matches_take(rng):
-    """COARSE_FETCH=grouped (depth-block-grouped epipolar patches,
-    ``fetch_features_dgrouped``): same cost volume as the per-point row
-    gather up to fp reassociation of the factored lerp weights, including
-    border-straddling and behind-camera hypotheses, plus the per-view
-    fallback on overflow geometry."""
-    for (h, w, v, d, f) in [(16, 16, 3, 8, 20.0), (20, 24, 4, 16, 30.0)]:
-        feats = jnp.asarray(rng.rand(2, v, h, w, 6).astype(np.float32))
-        cams = jnp.asarray(stereo_cams(2, v, h, w, f=f, baseline=0.2))
-        depths = jnp.asarray(
-            np.linspace(3.0, 9.0, d, dtype=np.float32)[None].repeat(2, 0))
-        a = plane_sweep_volume(feats, cams, depths, impl="take")
-        b = plane_sweep_volume(feats, cams, depths, impl="grouped")
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-5, rtol=1e-5)
-
-    # wide-baseline geometry: blocks overflow the patch -> per-view exact
-    # fallback must keep the result identical to the row-gather path
-    h, w, v, d = 12, 16, 3, 8
-    feats = jnp.asarray(rng.rand(1, v, h, w, 4).astype(np.float32))
-    cams = jnp.asarray(stereo_cams(1, v, h, w, f=80.0, baseline=2.0))
-    depths = jnp.asarray(np.linspace(1.5, 12.0, d, dtype=np.float32)[None])
-    a = plane_sweep_volume(feats, cams, depths, impl="take")
-    b = plane_sweep_volume(feats, cams, depths, impl="grouped")
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               atol=2e-5, rtol=1e-5)
-
-    # bf16 (the production eval dtype)
-    fb = feats.astype(jnp.bfloat16)
-    a = plane_sweep_volume(fb, cams, depths, impl="take").astype(jnp.float32)
-    b = plane_sweep_volume(fb, cams, depths, impl="grouped").astype(jnp.float32)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               atol=2e-4, rtol=1e-3)

@@ -119,28 +119,6 @@ def test_flow_moments_matches_stacked(fwd):
                                    rtol=1e-5, atol=1e-5, err_msg=k)
 
 
-def test_flow_extract_weighted_matches(fwd):
-    """MODEL.FLOW_EXTRACT=weighted (factored one-hot × weight taps in the
-    grouped fetch) reproduces the default path end-to-end — the fetch is
-    only active when FLOW_FETCH resolves to grouped, so force it for both
-    sides; f32 model ⇒ differences are reassociation-level."""
-    cfg, model, variables, images, cams, _, _ = fwd
-    kwargs = dict(is_flow=True, img_scales=(0.25, 0.5),
-                  inter_scales=(0.75, 0.375), num_virtual_plane=D,
-                  train=False)
-    preds = {}
-    for extract in ("onehot", "weighted"):
-        cfg_w = tiny_cfg()
-        cfg_w.MODEL.FLOW_FETCH = "grouped"
-        cfg_w.MODEL.FLOW_EXTRACT = extract
-        model_w, _, _ = build_model(cfg_w)
-        preds[extract] = model_w.apply(variables, images, cams, **kwargs)
-    for k in ("coarse_depth_map", "flow1", "flow2"):
-        np.testing.assert_allclose(np.asarray(preds["weighted"][k]),
-                                   np.asarray(preds["onehot"][k]),
-                                   rtol=1e-5, atol=1e-5, err_msg=k)
-
-
 def test_flow_src_dtype_bf16_close(fwd):
     """MODEL.FLOW_SRC_DTYPE=bfloat16 quantizes only the per-view fetched
     features; refined depths stay within a small fraction of the depth
@@ -152,7 +130,7 @@ def test_flow_src_dtype_bf16_close(fwd):
     preds = {}
     for sdt in ("", "bfloat16"):
         cfg_s = tiny_cfg()
-        cfg_s.MODEL.FLOW_FETCH = "grouped"
+        cfg_s.MODEL.FLOW_FETCH = "bilinear"
         cfg_s.MODEL.FLOW_SRC_DTYPE = sdt
         model_s, _, _ = build_model(cfg_s)
         preds[sdt] = model_s.apply(variables, images, cams, **kwargs)

@@ -121,16 +121,14 @@ def test_spmd_batchnorm_matches_single_device(rng):
 import pytest
 
 
-@pytest.mark.parametrize("fetch", ["table", "grouped", "bilinear"])
+@pytest.mark.parametrize("fetch", ["table", "bilinear"])
 def test_band_parallel_flow_matches_serial(rng, fetch):
     """Band-parallel PointFlow (flow row bands vmapped + sharded over the
     mesh "band" axis) must reproduce the serial banded forward exactly —
     the bands are independent given the replicated pyramid, and the halo
-    covers the EdgeConv receptive field. Parametrized over the fetch
-    kernel: "grouped" exercises the hoisted miss precheck + guard-free
-    fast path under the band vmap (VERDICT r3 #4 composition);
-    "bilinear" is the shipped eval default (VERDICT r4 #6 — the default
-    must be covered explicitly, not only via "auto" in the dryrun)."""
+    covers the EdgeConv receptive field. Parametrized over both fetch
+    engines; "bilinear" is the shipped eval default (VERDICT r4 #6 — the
+    default must be covered explicitly, not only via "auto")."""
     from pointmvsnet_tpu.parallel import make_mesh_2d
 
     h, w = 64, 64

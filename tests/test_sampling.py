@@ -143,14 +143,14 @@ def test_fetch_features_ref_view_identity(rng):
 
 
 def test_perlevel_matches_multilevel(rng):
-    """fetch_features_perlevel (per-level 2×2-table bilinear, the
-    grouped fetch's erstwhile fallback promoted to a first-class engine)
-    equals the combined-table path, stack and moments reductions."""
+    """fetch_features_perlevel (per-level 2×2-table bilinear — the shipped
+    eval engine) equals the combined-table path, stack and moments
+    reductions."""
     from pointmvsnet_tpu.ops.sampling import (
         fetch_features_multilevel,
         fetch_features_perlevel,
     )
-    from tests.test_grouped_fetch import make_points, make_pyramid
+    from tests.fetch_helpers import make_points, make_pyramid
 
     levels, cams = make_pyramid(rng)
     pts = make_points(rng, 1, 64, groups=5, spread=0.01)
@@ -168,3 +168,20 @@ def test_perlevel_matches_multilevel(rng):
     bf = fetch_features_perlevel(levels, pts, cams,
                                  out_dtype=jnp.bfloat16)
     assert bf.dtype == jnp.bfloat16
+
+
+def test_multilevel_moments_matches_stack(rng):
+    """reduce="moments" (per-view f32 Σf/Σf² accumulation) equals the
+    stacked tensor's view reduction for the combined-table engine."""
+    from pointmvsnet_tpu.ops.sampling import fetch_features_multilevel
+    from tests.fetch_helpers import make_points, make_pyramid
+
+    levels, cams = make_pyramid(rng)
+    pts = make_points(rng, 1, 64, groups=5, spread=0.002)
+    src = np.asarray(fetch_features_multilevel(levels, pts, cams), np.float32)
+    s1, s2 = fetch_features_multilevel(levels, pts, cams, reduce="moments")
+    assert s1.dtype == jnp.float32 and s2.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(s1), src.sum(axis=1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2), np.square(src).sum(axis=1),
+                               rtol=1e-5, atol=1e-6)
