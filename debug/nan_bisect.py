@@ -48,6 +48,18 @@ def grad_report(grads, prefix=""):
         n_bad = int(np.sum(~np.isfinite(allv)))
         out.append(f"{prefix}{name}: bad={n_bad}/{allv.size} "
                    f"max|g|={np.max(np.abs(allv[np.isfinite(allv)])) if np.isfinite(allv).any() else float('nan'):.3e}")
+        if n_bad:
+            # leaf-level bracket: WHICH parameters are non-finite (the
+            # layer/stat names localize the originating backward op)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(sub):
+                a = np.asarray(leaf, np.float32)
+                nb = int(np.sum(~np.isfinite(a)))
+                if nb:
+                    fin = a[np.isfinite(a)]
+                    out.append(
+                        f"{prefix}  BAD {jax.tree_util.keystr(path)}: "
+                        f"{nb}/{a.size} maxfinite="
+                        f"{np.max(np.abs(fin)) if fin.size else 0:.3e}")
     return out
 
 

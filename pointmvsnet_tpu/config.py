@@ -232,6 +232,15 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.FLOW_CHUNK_ROWS = 0             # >0: row-banded PointFlow (memory cap;
                                              # 128 is optimal for full-res eval on v5e)
     _C.MODEL.REMAT = False                   # jax.checkpoint the flow stages
+    _C.MODEL.REMAT_SAVE = ("knn",)           # checkpoint_name'd values the
+                                             # remat policy SAVES instead of
+                                             # recomputing in the backward:
+                                             # "knn" (integer kNN graph —
+                                             # cheap to store, expensive to
+                                             # recompute) and/or "feat" (the
+                                             # variance point-feature — skips
+                                             # the fetch+variance recompute
+                                             # at ~50 MB/iteration)
     _C.MODEL.FLOW_FETCH = "auto"             # PointFlow source fetch kernel:
                                              # "table" (ONE combined-table
                                              # gather per hypothesis point) |

@@ -55,6 +55,7 @@ def build_pointmvsnet(cfg, band_mesh=None,
         knn_impl=cfg.MODEL.KNN_IMPL,
         flow_chunk_rows=cfg.MODEL.FLOW_CHUNK_ROWS,
         remat=cfg.MODEL.REMAT,
+        remat_save=tuple(cfg.MODEL.REMAT_SAVE),
         band_mesh=band_mesh,
         view_mesh=view_mesh,
         flow_fetch=cfg.MODEL.FLOW_FETCH,

@@ -184,6 +184,11 @@ class PointFlowCore(nn.Module):
                        + jnp.sum(jnp.square(src.astype(jnp.float32)),
                                  axis=1)) / nv
         point_feat = sq_mean - jnp.square(mean)                       # (B, G·N, ΣC)
+        # under MODEL.REMAT with "feat" in MODEL.REMAT_SAVE the policy keeps
+        # this tensor, so the backward skips recomputing the multi-view
+        # fetch + variance (the forward's dominant chunk) at the cost of
+        # one (B, G·N, ΣC) buffer per iteration
+        point_feat = checkpoint_name(point_feat, "feat")
         import os as _os
         if _os.environ.get("POINTFLOW_BARRIER"):   # trace-time scheduling probe
             point_feat = jax.lax.optimization_barrier(point_feat)
@@ -253,6 +258,7 @@ class PointFlow(nn.Module):
     knn_impl: str = "auto"
     chunk_rows: int = 0
     remat: bool = False
+    remat_save: Sequence[str] = ("knn",)  # checkpoint names the policy saves
     band_mesh: object = None   # jax.sharding.Mesh with a "band" axis, or None
     fetch: str = "auto"        # "table" | "bilinear" | "auto"
     moments: bool = False      # per-view Σf/Σf² accumulation (MODEL.FLOW_MOMENTS)
@@ -263,12 +269,15 @@ class PointFlow(nn.Module):
         if self.remat:
             # trade FLOPs for memory: recompute the flow activations in the
             # backward pass (MODEL.REMAT; useful for large train batches).
-            # save_only_these_names("knn"): keep the kNN graph (integer
-            # idx/mask — cheap to store, expensive to recompute); everything
-            # else rematerializes as with the default nothing-saved policy.
+            # MODEL.REMAT_SAVE picks the saved residuals: "knn" keeps the
+            # kNN graph (integer idx/mask — cheap to store, expensive to
+            # recompute); "feat" additionally keeps the variance point-
+            # feature (skips the fetch+variance recompute); everything else
+            # rematerializes as with the default nothing-saved policy.
             core_cls = nn.remat(
                 PointFlowCore, static_argnums=(6, 7, 8, 10),
-                policy=jax.checkpoint_policies.save_only_these_names("knn"))
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    *self.remat_save))
         self.core = core_cls(self.edge_channels, self.flow_channels,
                              self.m, self.k, self.window, self.norm,
                              self.dtype, self.knn_impl,
@@ -373,6 +382,7 @@ class PointMVSNet(nn.Module):
     knn_impl: str = "auto"
     flow_chunk_rows: int = 0
     remat: bool = False
+    remat_save: Sequence[str] = ("knn",)  # MODEL.REMAT_SAVE
     band_mesh: object = None   # Mesh with a "band" axis → band-parallel flow
     view_mesh: object = None   # Mesh with a "view" axis → view-parallel cost
     flow_fetch: str = "auto"   # "table" | "bilinear" | "auto"
@@ -387,6 +397,7 @@ class PointMVSNet(nn.Module):
                                     self.flow_m, self.knn, self.knn_window,
                                     self.norm, self.dtype, self.knn_impl,
                                     self.flow_chunk_rows, self.remat,
+                                    self.remat_save,
                                     self.band_mesh, fetch=self.flow_fetch,
                                     moments=self.flow_moments,
                                     src_dtype=self.flow_src_dtype)

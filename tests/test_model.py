@@ -278,11 +278,12 @@ def test_chunked_flow_exact_with_bn_eval(rng, fetch):
     np.testing.assert_array_equal(np.asarray(p0["flow1"]), np.asarray(p1["flow1"]))
 
 
-def test_remat_grads_match_no_remat(rng=np.random.RandomState(7)):
-    """MODEL.REMAT (checkpointed PointFlowCore with the save-knn policy)
-    must reproduce the unrematted training gradients — rematerialization
-    changes scheduling, never math (tolerance covers the float
-    reassociation of the differently-fused recompute graph)."""
+@pytest.mark.parametrize("save", [("knn",), ("knn", "feat")])
+def test_remat_grads_match_no_remat(save, rng=np.random.RandomState(7)):
+    """MODEL.REMAT (checkpointed PointFlowCore) must reproduce the
+    unrematted training gradients under every MODEL.REMAT_SAVE policy —
+    rematerialization changes scheduling, never math (tolerance covers the
+    float reassociation of the differently-fused recompute graph)."""
     images, cams, gt = make_batch(rng)
     kwargs = dict(is_flow=True, img_scales=(0.25, 0.5),
                   inter_scales=(0.75, 0.375), num_virtual_plane=D)
@@ -290,6 +291,7 @@ def test_remat_grads_match_no_remat(rng=np.random.RandomState(7)):
     def grads_with(remat):
         cfg = tiny_cfg()
         cfg.MODEL.REMAT = remat
+        cfg.MODEL.REMAT_SAVE = save
         model, loss_fn, _ = build_model(cfg)
         variables = model.init(jax.random.PRNGKey(0), images, cams, **kwargs)
 
