@@ -155,13 +155,16 @@ class PointFlowCore(nn.Module):
         # per-level fetches — see fetch_features_multilevel); variance over
         # views is per-channel, so concat-then-reduce == reduce-then-concat.
         reduce = "moments" if self.moments else "stack"
-        if fetch == "bilinear":
+        if fetch in ("bilinear", "bilinear_p"):
             # per-level 2×2-table bilinear gathers — no wide patch table,
             # no fallback cond (vmap-safe); the measured in-situ winner at
-            # the DTU headline (see ops/sampling.py::fetch_features_perlevel)
+            # the DTU headline (see ops/sampling.py::fetch_features_perlevel).
+            # "bilinear_p": same taps, rows served by the Pallas windowed-
+            # VMEM gather (ops/pallas/gather.py) — eval-only (no VJP).
             src = fetch_features_perlevel(
                 [fmap[:, 1:] for fmap in levels], x, cams_levels[0][:, 1:],
-                reduce=reduce, out_dtype=self.src_dtype)
+                reduce=reduce, out_dtype=self.src_dtype,
+                gather="pallas" if fetch == "bilinear_p" else "take")
         else:
             src = fetch_features_multilevel(
                 [fmap[:, 1:] for fmap in levels], x,
@@ -298,12 +301,17 @@ class PointFlow(nn.Module):
             fetch = "bilinear" if not train else "table"
         else:
             fetch = self.fetch
-        if fetch not in ("table", "bilinear"):
+        if fetch not in ("table", "bilinear", "bilinear_p"):
             raise ValueError(
                 f"MODEL.FLOW_FETCH={fetch!r}: valid engines are 'table', "
-                f"'bilinear', 'auto' (the pixel-'grouped' engine was "
-                f"excised in round 5 — measured slower at eval, OOM at "
-                f"train; see docs/STATUS.md)")
+                f"'bilinear', 'bilinear_p', 'auto' (the pixel-'grouped' "
+                f"engine was excised in round 5 — measured slower at eval, "
+                f"OOM at train; see docs/STATUS.md)")
+        if fetch == "bilinear_p" and (train or self.band_mesh is not None):
+            # the Pallas gather has no VJP (train) and its lax.cond
+            # fallback would run BOTH branches under the band-mesh vmap —
+            # keep the exact-math XLA twin on those paths
+            fetch = "bilinear" if not train else "table"
 
         if cr <= 0 or h <= cr + 16:  # too short to band (bs = cr + 2·halo)
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,

@@ -143,13 +143,15 @@ def test_flow_src_dtype_bf16_close(fwd):
 
 def test_flow_fetch_bilinear_matches(fwd):
     """MODEL.FLOW_FETCH=bilinear (per-level 2×2-table engine) reproduces
-    the table engine end-to-end (same primitive, different composition)."""
+    the table engine end-to-end (same primitive, different composition);
+    bilinear_p (Pallas windowed-VMEM gather, interpreter mode on CPU)
+    must be BIT-identical to bilinear (same taps, gather swapped)."""
     cfg, model, variables, images, cams, _, _ = fwd
     kwargs = dict(is_flow=True, img_scales=(0.25, 0.5),
                   inter_scales=(0.75, 0.375), num_virtual_plane=D,
                   train=False)
     preds = {}
-    for fetch in ("table", "bilinear"):
+    for fetch in ("table", "bilinear", "bilinear_p"):
         cfg_f = tiny_cfg()
         cfg_f.MODEL.FLOW_FETCH = fetch
         model_f, _, _ = build_model(cfg_f)
@@ -158,6 +160,9 @@ def test_flow_fetch_bilinear_matches(fwd):
         np.testing.assert_allclose(np.asarray(preds["bilinear"][k]),
                                    np.asarray(preds["table"][k]),
                                    rtol=1e-5, atol=1e-5, err_msg=k)
+        np.testing.assert_array_equal(np.asarray(preds["bilinear_p"][k]),
+                                      np.asarray(preds["bilinear"][k]),
+                                      err_msg=k)
 
 
 def test_coarse_only_forward(fwd):
