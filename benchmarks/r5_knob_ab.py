@@ -36,6 +36,10 @@ VARIANTS = {
     "chunk256": {"chunk_rows": 256},
     "chunk0": {"chunk_rows": 0},
     "moments": {"moments": True},
+    # bilinear taps with rows served by the Pallas windowed-VMEM gather
+    # (ops/pallas/gather.py) instead of XLA's latency-bound row gather
+    "pallas": {"fetch": "bilinear_p"},
+    "pallas_chunk0": {"fetch": "bilinear_p", "chunk_rows": 0},
 }
 
 
@@ -46,14 +50,14 @@ def _flush(rec):
     os.replace(tmp, OUT)
 
 
-def build_variant(chunk_rows=128, moments=False):
+def build_variant(chunk_rows=128, moments=False, fetch="bilinear"):
     from pointmvsnet_tpu.config import get_default_cfg
     from pointmvsnet_tpu.models import build_model
     cfg = get_default_cfg()
     cfg.MODEL.NORM = "bn"
     cfg.MODEL.DTYPE = "bfloat16"
     cfg.MODEL.FLOW_CHUNK_ROWS = chunk_rows
-    cfg.MODEL.FLOW_FETCH = "bilinear"
+    cfg.MODEL.FLOW_FETCH = fetch
     cfg.MODEL.FLOW_MOMENTS = moments
     model, _, _ = build_model(cfg)
     return cfg, model
@@ -63,7 +67,7 @@ def main():
     import jax
 
     names = sys.argv[1:] or ["base", "chunk64", "chunk256", "chunk0",
-                             "moments", "base"]
+                             "moments", "pallas", "pallas_chunk0", "base"]
 
     t0 = time.perf_counter()
     done = bench._device_watchdog(420.0)
