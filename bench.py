@@ -68,6 +68,9 @@ def build(norm="bn", dtype="bfloat16", chunk_rows=128, fetch=None):
         cfg.MODEL.COARSE_FETCH = os.environ["BENCH_COARSE_FETCH"]
     if os.environ.get("BENCH_CHUNK_ROWS"):   # A/B the flow band height
         cfg.MODEL.FLOW_CHUNK_ROWS = int(os.environ["BENCH_CHUNK_ROWS"])
+    if os.environ.get("BENCH_REMAT_SAVE"):   # A/B the remat save policy
+        cfg.MODEL.REMAT_SAVE = tuple(
+            s for s in os.environ["BENCH_REMAT_SAVE"].split(",") if s)
     model, _, _ = build_model(cfg)
     return cfg, model
 

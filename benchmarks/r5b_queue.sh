@@ -57,7 +57,8 @@ pick dbg_nans && run dbg_nans 3600 \
     python -u debug/nan_bisect.py --steps 2 --height 128 --width 192 \
     --debug_nans
 pick train && run train 3600 \
-    python -u benchmarks/train_fetch_bench.py table bilinear
+    python -u benchmarks/train_fetch_bench.py table bilinear table+feat \
+    bilinear+feat
 pick tt && run tt 2400 python -u benchmarks/tt_sweep.py
 pick details && run details 5400 env BENCH_DETAILS=1 python -u bench.py
 

@@ -1,8 +1,11 @@
 """Train-step latency A/B at the reference train config (V=3, D=48,
-640x512, scales .25/.5, bf16+BN+REMAT, B=1): table vs bilinear flow fetch
-(MODEL.FLOW_FETCH), under the default remat-with-knn-save policy.
+640x512, scales .25/.5, bf16+BN+REMAT, B=1): flow-fetch engine x remat
+save policy. Variant syntax: ``<fetch>[+feat]`` — the ``+feat`` suffix
+sets MODEL.REMAT_SAVE=('knn','feat') so the remat policy keeps the
+variance point-feature instead of re-gathering it in the backward.
 
-Run on the real chip:  python benchmarks/train_fetch_bench.py [table|bilinear ...]
+Run on the real chip:
+    python benchmarks/train_fetch_bench.py [table bilinear table+feat ...]
 """
 import json
 import os
@@ -17,23 +20,40 @@ enable_compilation_cache()
 import bench
 from bench import measure_train_step
 
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "results", "train_ab_r5.json")
+
 
 def main():
     results = {}
     orig_build = bench.build
-    for fetch in (sys.argv[1:] or ["table", "bilinear"]):
+    for variant in (sys.argv[1:] or ["table", "bilinear", "table+feat"]):
+        fetch, _, save = variant.partition("+")
+        remat_save = ("knn", "feat") if save == "feat" else ("knn",)
+
         def build_f(norm="bn", dtype="bfloat16", chunk_rows=128,
-                    fetch_=fetch, **kw):
-            return orig_build(norm, dtype, chunk_rows, fetch=fetch_)
+                    fetch_=fetch, save_=remat_save, **kw):
+            cfg, model = orig_build(norm, dtype, chunk_rows, fetch=fetch_)
+            if save_ != tuple(cfg.MODEL.REMAT_SAVE):
+                from pointmvsnet_tpu.models import build_model
+                cfg.MODEL.REMAT_SAVE = save_
+                model, _, _ = build_model(cfg)
+            return cfg, model
         bench.build = build_f
         try:
             out = measure_train_step(iters=8)
+        except Exception as e:  # OOM is a useful recorded result
+            out = {"error": f"{type(e).__name__}: {e}"[:300]}
         finally:
             bench.build = orig_build
-        results[fetch] = out
-        print(fetch, json.dumps(out), flush=True)
+        results[variant] = out
+        print(variant, json.dumps(out), flush=True)
+        tmp = OUT + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace(tmp, OUT)
     print(json.dumps({k: round(v["step_latency_s"], 4)
-                      for k, v in results.items()}))
+                      for k, v in results.items() if "step_latency_s" in v}))
 
 
 if __name__ == "__main__":
