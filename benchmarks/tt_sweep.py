@@ -28,19 +28,41 @@ from bench import build, make_inputs, measure
 from pointmvsnet_tpu.utils.cache import enable_compilation_cache
 
 
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "results", "tt_sweep_r5.json")
+
+
 def main():
     enable_compilation_cache()
-    cfg, model = build()
-    variables = model.init(jax.random.PRNGKey(0), *make_inputs(1, 2, 64, 64, 8),
-                           is_flow=True, img_scales=(0.25,),
-                           inter_scales=(0.75,), num_virtual_plane=8)
-    kwargs = dict(is_flow=True, img_scales=(0.25, 0.5, 1.0),
-                  inter_scales=(0.75, 0.375, 0.1875), num_virtual_plane=96)
-    for h, w in [(512, 640), (1024, 1280)]:
-        images, cams = make_inputs(1, 5, h, w, 96)
-        mps, lat = measure(model, variables, images, cams, kwargs, iters=6)
-        print(json.dumps({"shape": f"{w}x{h}", "maps_per_sec": round(mps, 4),
-                          "latency_s": round(lat, 4)}))
+    engines = sys.argv[1:] or ["bilinear", "bilinear_p"]
+    variables = None
+    results = {}
+    for engine in engines:
+        cfg, model = build(fetch=engine)
+        if variables is None:
+            variables = model.init(
+                jax.random.PRNGKey(0), *make_inputs(1, 2, 64, 64, 8),
+                is_flow=True, img_scales=(0.25,), inter_scales=(0.75,),
+                num_virtual_plane=8)
+        kwargs = dict(is_flow=True, img_scales=(0.25, 0.5, 1.0),
+                      inter_scales=(0.75, 0.375, 0.1875),
+                      num_virtual_plane=96)
+        for h, w in [(512, 640), (1024, 1280)]:
+            images, cams = make_inputs(1, 5, h, w, 96)
+            try:
+                mps, lat = measure(model, variables, images, cams, kwargs,
+                                   iters=6)
+                rec = {"maps_per_sec": round(mps, 4),
+                       "latency_s": round(lat, 4)}
+            except Exception as e:  # record OOMs instead of dying
+                rec = {"error": f"{type(e).__name__}: {e}"[:300]}
+            results[f"{engine}@{w}x{h}"] = rec
+            print(json.dumps({"engine": engine, "shape": f"{w}x{h}", **rec}),
+                  flush=True)
+            tmp = OUT + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(results, f, indent=1)
+            os.replace(tmp, OUT)
 
 
 if __name__ == "__main__":
