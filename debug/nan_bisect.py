@@ -128,6 +128,26 @@ def apply_ablations(names):
 
             pm.PointFlow = pf_nonorm
             notes.append("flow modules norm=none (coarse keeps bn)")
+        elif name == "bn_free_edge":
+            # EdgeConv keeps norm="none", flow-head SharedMLP keeps BN:
+            # splits bn_free_flow's CLEAN between the two flow-side BN
+            # implementations (EdgeConv's custom f32 path vs flax BatchNorm)
+            orig_edge2 = pm.EdgeConv
+
+            def edge_nonorm(features, norm="bn", **k):
+                return orig_edge2(features, norm="none", **k)
+
+            pm.EdgeConv = edge_nonorm
+            notes.append("EdgeConv norm=none (flow head keeps bn)")
+        elif name == "bn_free_head":
+            # flow-head SharedMLP norm="none", EdgeConv keeps BN
+            orig_mlp = pm.SharedMLP
+
+            def mlp_nonorm(features, norm="bn", **k):
+                return orig_mlp(features, norm="none", **k)
+
+            pm.SharedMLP = mlp_nonorm
+            notes.append("flow-head SharedMLP norm=none (EdgeConv keeps bn)")
         elif name == "sg_edge_in":
             # stop_gradient on every EdgeConv INPUT: cuts the backward
             # between stacked convs and into the variance feature, while
