@@ -61,7 +61,7 @@ def build(norm="bn", dtype="bfloat16", chunk_rows=128, fetch=None):
         fetch = os.environ.get("BENCH_FETCH", cfg.MODEL.FLOW_FETCH)
     cfg.MODEL.FLOW_FETCH = fetch
     if os.environ.get("BENCH_MOMENTS"):      # A/B the fused view moments
-        cfg.MODEL.FLOW_MOMENTS = True
+        cfg.MODEL.FLOW_MOMENTS = os.environ["BENCH_MOMENTS"]  # on|off|auto
     if os.environ.get("BENCH_SRC_DTYPE"):    # A/B the source-feature dtype
         cfg.MODEL.FLOW_SRC_DTYPE = os.environ["BENCH_SRC_DTYPE"]
     if os.environ.get("BENCH_COARSE_FETCH"):  # A/B the plane-sweep warp

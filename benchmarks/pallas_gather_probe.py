@@ -74,8 +74,12 @@ def _mk_pallas(body_fn, span, width, n):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((span, width), lambda i, q: (q[i] + 1, 0),
                          memory_space=pltpu.VMEM),
-            # per-block window-relative indices
-            pl.BlockSpec((1, BLOCK), lambda i, q: (i, 0),
+            # per-block window-relative indices, carried (nb, 1, BLOCK):
+            # a 2D (1, BLOCK) block over an (nb, BLOCK) array violates the
+            # TPU sublane tiling rule for nb > 1 (the exact ValueError the
+            # first probe run recorded) — the singleton axis makes the
+            # block's trailing dims match the array's exactly
+            pl.BlockSpec((1, 1, BLOCK), lambda i, q: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BLOCK, width), lambda i, q: (i, 0),
@@ -90,7 +94,7 @@ def _mk_pallas(body_fn, span, width, n):
 
 def _onehot_body(q_ref, lo_ref, hi_ref, rel_ref, out_ref):
     span = lo_ref.shape[0]
-    rel = rel_ref[0, :]                                  # (BLOCK,)
+    rel = rel_ref[0, 0, :]                               # (BLOCK,)
     rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, span), 1)
     oh_lo = (rows == rel[:, None]).astype(jnp.float32)
     oh_hi = (rows == (rel[:, None] - span)).astype(jnp.float32)
@@ -106,7 +110,7 @@ def _loop_body(q_ref, lo_ref, hi_ref, rel_ref, out_ref):
     span = lo_ref.shape[0]
 
     def body(j, _):
-        r = rel_ref[0, j]
+        r = rel_ref[0, 0, j]
         lo = r < span
 
         def take_lo():
@@ -123,7 +127,7 @@ def _loop_body(q_ref, lo_ref, hi_ref, rel_ref, out_ref):
 
 def _take_body(q_ref, lo_ref, hi_ref, rel_ref, out_ref):
     span = lo_ref.shape[0]
-    rel = rel_ref[0, :]
+    rel = rel_ref[0, 0, :]
     lo = jnp.take(lo_ref[:], jnp.clip(rel, 0, span - 1), axis=0)
     hi = jnp.take(hi_ref[:], jnp.clip(rel - span, 0, span - 1), axis=0)
     out_ref[:] = jnp.where((rel < span)[:, None], lo, hi)
@@ -141,7 +145,8 @@ def pallas_gather(table, idx, span, body):
     q = jnp.min(ib, axis=1) // span                      # (nb,) slab index
     rel = (ib - (q * span)[:, None]).astype(jnp.int32)   # (nb, BLOCK)
     fn = _mk_pallas(body, span, width, n)
-    return fn(q.astype(jnp.int32), table_p, table_p, rel)
+    return fn(q.astype(jnp.int32), table_p, table_p,
+              rel.reshape(nb, 1, BLOCK))
 
 
 def bench_one(name, fn, table, idx, span, iters=30):

@@ -27,15 +27,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
+# wave 2 writes a FRESH artifact — wave 1's knob_ab_r5.json is committed
+# history and must not be overwritten
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "results", "knob_ab_r5.json")
+                   "results", "knob_ab_r5b.json")
 
 VARIANTS = {
-    "base": {},
+    # wave 1 (2026-08-20, committed in knob_ab_r5.json): base=chunk128
+    # stacked; "moments" won 207.2 ms vs base's 217.9 (repeat) and became
+    # the shipped eval default (FLOW_MOMENTS="auto"). Wave-2 variants
+    # measure ON TOP of that default.
+    "base": {},                           # shipped defaults (moments auto=on)
+    "stack": {"moments": "off"},          # wave-1 "base" re-check
     "chunk64": {"chunk_rows": 64},
     "chunk256": {"chunk_rows": 256},
     "chunk0": {"chunk_rows": 0},
-    "moments": {"moments": True},
+    "moments": {"moments": "on"},
     # bilinear taps with rows served by the Pallas windowed-VMEM gather
     # (ops/pallas/gather.py) instead of XLA's latency-bound row gather
     "pallas": {"fetch": "bilinear_p"},
@@ -50,7 +57,7 @@ def _flush(rec):
     os.replace(tmp, OUT)
 
 
-def build_variant(chunk_rows=128, moments=False, fetch="bilinear"):
+def build_variant(chunk_rows=128, moments="auto", fetch="bilinear"):
     from pointmvsnet_tpu.config import get_default_cfg
     from pointmvsnet_tpu.models import build_model
     cfg = get_default_cfg()
@@ -66,8 +73,7 @@ def build_variant(chunk_rows=128, moments=False, fetch="bilinear"):
 def main():
     import jax
 
-    names = sys.argv[1:] or ["base", "chunk64", "chunk256", "chunk0",
-                             "moments", "pallas", "pallas_chunk0", "base"]
+    names = sys.argv[1:] or ["base", "stack", "chunk64", "pallas", "base"]
 
     t0 = time.perf_counter()
     done = bench._device_watchdog(420.0)
@@ -80,8 +86,9 @@ def main():
     enable_compilation_cache()
 
     rec = {
-        "purpose": "r5 knob A/B at FLOW_FETCH=bilinear, headline config "
-                   "(640x512 V=5 D=96 3-flow bf16)",
+        "purpose": "r5 knob A/B wave 2 at the shipped defaults (bilinear + "
+                   "moments auto), headline config (640x512 V=5 D=96 3-flow "
+                   "bf16)",
         "device_init_s": round(init_s, 1),
         "variants": {},
         "order": [],

@@ -34,35 +34,51 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def main():
     enable_compilation_cache()
-    engines = sys.argv[1:] or ["bilinear", "bilinear_p"]
+    # The r5 knob A/B found a CLIFF in per-band point count: at 640×512,
+    # 128-row bands (82k pts) run 218 ms/map but 256-row bands (164k pts)
+    # run 1296 ms — a ~6× nonlinearity, not a gradual slope. At 1280×1024
+    # a 128-row band is 164k points, i.e. the historic 6 s/map "superlinear
+    # wall" sits exactly on the bad side of that cliff. Sweep band heights
+    # at the big shape to find the per-shape optimum (constant ~80k points
+    # per band predicts chunk64 ≈ the DTU regime).
+    # tokens: engine[:chunk_rows]@WxH   (argv overrides the default sweep)
+    tokens = sys.argv[1:] or [
+        "bilinear:128@640x512",     # DTU anchor (the headline config)
+        "bilinear:64@1280x1024",    # same pts/band as the DTU optimum
+        "bilinear:32@1280x1024",
+        "bilinear:128@1280x1024",   # the historic wall, for attribution
+        "bilinear_p:64@1280x1024",  # Pallas windowed gather, post-fix
+    ]
     variables = None
     results = {}
-    for engine in engines:
-        cfg, model = build(fetch=engine)
+    kwargs = dict(is_flow=True, img_scales=(0.25, 0.5, 1.0),
+                  inter_scales=(0.75, 0.375, 0.1875),
+                  num_virtual_plane=96)
+    for tok in tokens:
+        spec, shape = tok.split("@")
+        engine, _, chunk = spec.partition(":")
+        chunk = int(chunk or 128)
+        w, h = (int(x) for x in shape.split("x"))
+        cfg, model = build(fetch=engine, chunk_rows=chunk)
         if variables is None:
             variables = model.init(
                 jax.random.PRNGKey(0), *make_inputs(1, 2, 64, 64, 8),
                 is_flow=True, img_scales=(0.25,), inter_scales=(0.75,),
                 num_virtual_plane=8)
-        kwargs = dict(is_flow=True, img_scales=(0.25, 0.5, 1.0),
-                      inter_scales=(0.75, 0.375, 0.1875),
-                      num_virtual_plane=96)
-        for h, w in [(512, 640), (1024, 1280)]:
-            images, cams = make_inputs(1, 5, h, w, 96)
-            try:
-                mps, lat = measure(model, variables, images, cams, kwargs,
-                                   iters=6)
-                rec = {"maps_per_sec": round(mps, 4),
-                       "latency_s": round(lat, 4)}
-            except Exception as e:  # record OOMs instead of dying
-                rec = {"error": f"{type(e).__name__}: {e}"[:300]}
-            results[f"{engine}@{w}x{h}"] = rec
-            print(json.dumps({"engine": engine, "shape": f"{w}x{h}", **rec}),
-                  flush=True)
-            tmp = OUT + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(results, f, indent=1)
-            os.replace(tmp, OUT)
+        images, cams = make_inputs(1, 5, h, w, 96)
+        try:
+            mps, lat = measure(model, variables, images, cams, kwargs,
+                               iters=6)
+            rec = {"maps_per_sec": round(mps, 4),
+                   "latency_s": round(lat, 4)}
+        except Exception as e:  # record OOMs instead of dying
+            rec = {"error": f"{type(e).__name__}: {e}"[:300]}
+        results[tok] = rec
+        print(json.dumps({"variant": tok, **rec}), flush=True)
+        tmp = OUT + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace(tmp, OUT)
 
 
 if __name__ == "__main__":

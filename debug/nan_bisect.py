@@ -282,6 +282,11 @@ def main():
     cfg.MODEL.NORM = args.norm
     cfg.MODEL.DTYPE = args.dtype
     cfg.MODEL.FLOW_CHUNK_ROWS = 0
+    # pin the flow knobs: the bisect graph must not shift under default
+    # flips mid-hunt (FLOW_MOMENTS went "auto" in round 5; auto is off at
+    # train anyway, but the repro is frozen explicitly)
+    cfg.MODEL.FLOW_MOMENTS = "off"
+    cfg.MODEL.FLOW_FETCH = "table"
     cfg.MODEL.REMAT = args.remat
     cfg.SOLVER.SKIP_NONFINITE = False  # raw grads, no guard
     model, loss_fn, _ = build_model(cfg)

@@ -268,15 +268,23 @@ def get_default_cfg() -> CfgNode:
                                              # (slab-matmul gather, exact
                                              # per-view fallback) | "take"
                                              # (hardware row gather)
-    _C.MODEL.FLOW_MOMENTS = False            # fuse the view-variance moments
+    _C.MODEL.FLOW_MOMENTS = "auto"           # fuse the view-variance moments
                                              # into the fetch (per-view Σf/Σf²
                                              # f32 accumulation — the stacked
                                              # (V,G·N,ΣC) tensor never
                                              # materializes; slightly MORE
                                              # precise than the stacked bf16
-                                             # square-sum, but measured 3x
-                                             # slower at headline shapes —
-                                             # kept as a gated precision knob)
+                                             # square-sum). "on" | "off" |
+                                             # "auto" = on at EVAL (measured
+                                             # full-pipeline winner at the
+                                             # bilinear headline: 207 vs
+                                             # 218 ms/map, benchmarks/results/
+                                             # knob_ab_r5.json; an earlier
+                                             # "3x slower" result was under
+                                             # the excised grouped engine),
+                                             # off at TRAIN pending the
+                                             # backward A/B. Bools accepted
+                                             # in YAML (True="on").
     _C.MODEL.FLOW_SRC_DTYPE = ""             # per-view source-feature dtype
                                              # for the flow fetch: "" (f32) |
                                              # "bfloat16" (halves the stacked

@@ -102,7 +102,7 @@ class PointFlowCore(nn.Module):
     norm: str = "bn"
     dtype: jnp.dtype = jnp.float32
     knn_impl: str = "auto"
-    moments: bool = False
+    moments: object = "auto"        # "on" | "off" | "auto" (on at eval) | bool
     src_dtype: object = None        # cast per-view source features (e.g. bf16)
 
     @nn.compact
@@ -154,7 +154,13 @@ class PointFlowCore(nn.Module):
         # All 3 pyramid levels in ONE gather per source view (bit-exact to
         # per-level fetches — see fetch_features_multilevel); variance over
         # views is per-channel, so concat-then-reduce == reduce-then-concat.
-        reduce = "moments" if self.moments else "stack"
+        # MODEL.FLOW_MOMENTS "auto": fused f32 moments at EVAL — the measured
+        # full-pipeline winner at the bilinear headline (207 vs 218 ms/map,
+        # benchmarks/results/knob_ab_r5.json, same-session A/B) — stacked at
+        # TRAIN pending the backward A/B (benchmarks/train_fetch_bench.py).
+        moments = (self.moments if isinstance(self.moments, bool)
+                   else {"on": True, "off": False}.get(self.moments, not train))
+        reduce = "moments" if moments else "stack"
         if fetch in ("bilinear", "bilinear_p"):
             # per-level 2×2-table bilinear gathers — no wide patch table,
             # no fallback cond (vmap-safe); the measured in-situ winner at
@@ -170,7 +176,7 @@ class PointFlowCore(nn.Module):
                 [fmap[:, 1:] for fmap in levels], x,
                 cams_levels[0][:, 1:], table=src_table,
                 reduce=reduce)                                        # (B,V-1,G·N,ΣC)
-        if self.moments:
+        if moments:
             # Σf / Σf² accumulated per view in f32 (never materializes the
             # V-view stack; slightly MORE precise than the stacked bf16
             # square-sum — intentional, MODEL.FLOW_MOMENTS)
@@ -264,7 +270,7 @@ class PointFlow(nn.Module):
     remat_save: Sequence[str] = ("knn",)  # checkpoint names the policy saves
     band_mesh: object = None   # jax.sharding.Mesh with a "band" axis, or None
     fetch: str = "auto"        # "table" | "bilinear" | "auto"
-    moments: bool = False      # per-view Σf/Σf² accumulation (MODEL.FLOW_MOMENTS)
+    moments: object = "auto"   # per-view Σf/Σf² accumulation (MODEL.FLOW_MOMENTS)
     src_dtype: object = None   # per-view source-feature dtype (MODEL.FLOW_SRC_DTYPE)
 
     def setup(self):
@@ -395,7 +401,7 @@ class PointMVSNet(nn.Module):
     view_mesh: object = None   # Mesh with a "view" axis → view-parallel cost
     flow_fetch: str = "auto"   # "table" | "bilinear" | "auto"
     coarse_fetch: str = "mxu"  # plane-sweep warp: "mxu" | "take"
-    flow_moments: bool = False  # fused per-view moment accumulation
+    flow_moments: object = "auto"  # fused per-view moment accumulation
     flow_src_dtype: object = None  # per-view source-feature dtype (None = f32)
 
     def setup(self):

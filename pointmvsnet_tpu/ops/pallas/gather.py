@@ -46,7 +46,7 @@ def _take_body(nslab, q_ref, rel_ref, *refs):
     slab_refs, out_ref = refs[:-1], refs[-1]
     span = slab_refs[0].shape[0]
     window = jnp.concatenate([r[:] for r in slab_refs], axis=0)
-    rel = rel_ref[0, :]                                    # (BLOCK,)
+    rel = rel_ref[0, 0, :]                                 # (BLOCK,)
     out_ref[:] = jnp.take(window, jnp.clip(rel, 0, nslab * span - 1), axis=0)
 
 
@@ -58,7 +58,7 @@ def _loop_body(nslab, q_ref, rel_ref, *refs):
     top = nslab * span - 1
 
     def body(j, _):
-        r = jnp.clip(rel_ref[0, j], 0, top)
+        r = jnp.clip(rel_ref[0, 0, j], 0, top)
         s, o = r // span, r % span
         branches = [functools.partial(lambda k: slab_refs[k][pl.ds(o, 1), :], k)
                     for k in range(nslab)]
@@ -74,10 +74,17 @@ _BODIES = {"take": _take_body, "loop": _loop_body}
 def _windowed_call(table_p, q, rel, *, span, slabs, block, mechanism):
     nb, n_pad = rel.shape[0], rel.size
     width = table_p.shape[1]
+    # rel is carried as (nb, 1, BLOCK): the TPU lowering requires the last
+    # two dims of a block shape to be (sublane-multiple, lane-multiple) OR
+    # equal to the array dims — a 2D (1, BLOCK) block over an (nb, BLOCK)
+    # array violates the sublane rule for nb > 1 (the exact ValueError the
+    # r5 knob A/B recorded); with the singleton axis the block's trailing
+    # (1, BLOCK) matches the array's trailing dims exactly.
+    rel3 = rel.reshape(nb, 1, block)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                       # q: per-block slab base
         grid=(nb,),
-        in_specs=[pl.BlockSpec((1, block), lambda i, q: (i, 0),
+        in_specs=[pl.BlockSpec((1, 1, block), lambda i, q: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((span, width),
                         functools.partial(lambda j, i, q: (q[i] + j, 0), j),
@@ -91,7 +98,7 @@ def _windowed_call(table_p, q, rel, *, span, slabs, block, mechanism):
         body,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, width), table_p.dtype),
-    )(q, rel, *([table_p] * slabs))
+    )(q, rel3, *([table_p] * slabs))
 
 
 def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray, *,
