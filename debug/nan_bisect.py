@@ -230,6 +230,22 @@ def apply_ablations(names):
 
             pm.jax.nn.softmax = smsg
             notes.append("stop_gradient into the flow softmax")
+        elif name == "edge_bn_2pass":
+            # EdgeConv train BN variance as E[(x−mean)²]: kills the
+            # E[x²]−E[x]² cancellation inside the compiled reduce
+            ec.BN_STATS_TWOPASS = True
+            notes.append("EdgeConv BN two-pass variance")
+        elif name == "edge_bn_barrier":
+            # optimization_barrier on EdgeConv BN (mean, var): pins the
+            # compiled schedule at the stats boundary — if CLEAN, the NaN
+            # is an XLA cross-boundary fusion artifact (consistent with
+            # the jax_debug_nans de-optimized-clean verdict)
+            ec.BN_STATS_BARRIER = True
+            notes.append("EdgeConv BN stats optimization_barrier")
+        elif name == "edge_bn_sgstats":
+            # frozen-stats normalization backward (localizer only)
+            ec.BN_STATS_STOPGRAD = True
+            notes.append("EdgeConv BN stats stop_gradient")
         else:
             raise SystemExit(f"unknown ablation: {name}")
     return notes

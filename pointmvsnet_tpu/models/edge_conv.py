@@ -40,6 +40,19 @@ import jax.numpy as jnp
 from pointmvsnet_tpu.models.blocks import _norm_layer, conv_kernel_init
 from pointmvsnet_tpu.ops.knn import gather_knn
 
+# --- NaN-hunt seams (debug/nan_bisect.py flips these module flags) --------
+# The B=2 bf16+BN train backward NaN is COMPILED-ONLY (jax_debug_nans: the
+# de-optimized rerun is clean) and localized to the flow-side BN backward
+# (bn_free_flow CLEAN, bn_free_coarse NAN — docs/STATUS.md). These seams
+# isolate candidate mechanisms inside the train-mode BN below; a seam that
+# comes back CLEAN on-chip names the mechanism and becomes the fix.
+BN_STATS_TWOPASS = False   # var = E[(x−mean)²] (no E[x²]−E[x]² cancellation)
+BN_STATS_BARRIER = False   # optimization_barrier on (mean, var): pins the
+#                            compiled schedule, blocking cross-boundary fusion
+BN_STATS_STOPGRAD = False  # stop_gradient on (mean, var): frozen-stats
+#                            normalization backward (semantics change —
+#                            localizer only, not a shippable default)
+
 
 class _BNStats(nn.Module):
     """Parameter/stat twin of ``nn.BatchNorm`` (same variable tree:
@@ -132,11 +145,19 @@ class EdgeConv(nn.Module):
             if train:
                 f32 = pre.astype(jnp.float32)
                 bm = jnp.mean(f32, axis=(0, 1, 2))
-                # clamp: E[x²]−E[x]² can cancel below −eps in fp32, and
-                # rsqrt(<0) NaNs (flax's own BatchNorm clamps the same way)
-                bv = jnp.maximum(
-                    jnp.mean(jnp.square(f32), axis=(0, 1, 2)) - jnp.square(bm),
-                    0.0)
+                if BN_STATS_TWOPASS:
+                    bv = jnp.mean(jnp.square(f32 - bm), axis=(0, 1, 2))
+                else:
+                    # clamp: E[x²]−E[x]² can cancel below −eps in fp32, and
+                    # rsqrt(<0) NaNs (flax's BatchNorm clamps the same way)
+                    bv = jnp.maximum(
+                        jnp.mean(jnp.square(f32), axis=(0, 1, 2))
+                        - jnp.square(bm), 0.0)
+                if BN_STATS_BARRIER:
+                    bm, bv = jax.lax.optimization_barrier((bm, bv))
+                if BN_STATS_STOPGRAD:
+                    bm = jax.lax.stop_gradient(bm)
+                    bv = jax.lax.stop_gradient(bv)
                 scale, bias, _, _ = bnp(bm, bv)
                 # normalize in fp32 during training: the backward through a
                 # bf16 rsqrt×large-reduction chain overflows to inf → NaN
