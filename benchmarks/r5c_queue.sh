@@ -22,7 +22,7 @@ mkdir -p "$OUT"
 log() { echo "[$(date -u +%FT%TZ)] $*" | tee -a "$OUT/queue.log"; }
 FAILS=0
 
-KNOWN="nan_edge nan_head nan_f32 knobs2 nan_2pass nan_barrier nan_sgstats"
+KNOWN="nan_edge nan_head nan_f32 knobs2 train2 nan_2pass nan_barrier nan_sgstats"
 for a in "$@"; do
   case " $KNOWN " in
     *" $a "*) ;;
@@ -50,6 +50,11 @@ pick nan_head && run nan_head 1800 \
     python -u debug/nan_bisect.py --steps 4 --height 128 --width 192 \
     --ablate bn_free_head
 pick knobs2 && run knobs2 4800 python -u benchmarks/r5_knob_ab.py
+# the r5b train step's +feat/+mom variants never ran (the in-flight bash
+# re-read a stale script view); results merge into train_ab_r5.json
+pick train2 && run train2 3600 \
+    python -u benchmarks/train_fetch_bench.py table+feat bilinear+feat \
+    bilinear+mom bilinear+feat+mom
 pick nan_f32 && run nan_f32 1800 \
     python -u debug/nan_bisect.py --steps 4 --height 128 --width 192 \
     --dtype float32

@@ -25,18 +25,34 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def main():
+    # merge into the existing record: separate waves (e.g. the r5c +feat/
+    # +mom run after the r5b table/bilinear run) must not clobber each other
     results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
     orig_build = bench.build
     for variant in (sys.argv[1:] or ["table", "bilinear", "table+feat"]):
-        fetch, _, save = variant.partition("+")
-        remat_save = ("knn", "feat") if save == "feat" else ("knn",)
+        # <fetch>[+feat][+mom]: feat = remat policy saves the variance
+        # point-feature; mom = FLOW_MOMENTS=on at train (auto is off there
+        # pending exactly this measurement)
+        parts = variant.split("+")
+        fetch, mods = parts[0], set(parts[1:])
+        unknown = mods - {"feat", "mom"}
+        if unknown:
+            raise SystemExit(f"unknown variant modifier(s) {unknown} "
+                             f"in {variant!r}")
+        remat_save = ("knn", "feat") if "feat" in mods else ("knn",)
+        moments = "on" if "mom" in mods else None
 
         def build_f(norm="bn", dtype="bfloat16", chunk_rows=128,
-                    fetch_=fetch, save_=remat_save, **kw):
+                    fetch_=fetch, save_=remat_save, mom_=moments, **kw):
             cfg, model = orig_build(norm, dtype, chunk_rows, fetch=fetch_)
-            if save_ != tuple(cfg.MODEL.REMAT_SAVE):
+            if save_ != tuple(cfg.MODEL.REMAT_SAVE) or mom_ is not None:
                 from pointmvsnet_tpu.models import build_model
                 cfg.MODEL.REMAT_SAVE = save_
+                if mom_ is not None:
+                    cfg.MODEL.FLOW_MOMENTS = mom_
                 model, _, _ = build_model(cfg)
             return cfg, model
         bench.build = build_f
