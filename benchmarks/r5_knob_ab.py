@@ -47,6 +47,10 @@ VARIANTS = {
     # (ops/pallas/gather.py) instead of XLA's latency-bound row gather
     "pallas": {"fetch": "bilinear_p"},
     "pallas_chunk0": {"fetch": "bilinear_p", "chunk_rows": 0},
+    # bf16 per-view source features: halves the gather traffic (the f32
+    # lerp weights and variance accumulation are unchanged); measured only
+    # under the excised grouped engine so far
+    "srcbf16": {"src_dtype": "bfloat16"},
 }
 
 
@@ -57,7 +61,8 @@ def _flush(rec):
     os.replace(tmp, OUT)
 
 
-def build_variant(chunk_rows=128, moments="auto", fetch="bilinear"):
+def build_variant(chunk_rows=128, moments="auto", fetch="bilinear",
+                  src_dtype=""):
     from pointmvsnet_tpu.config import get_default_cfg
     from pointmvsnet_tpu.models import build_model
     cfg = get_default_cfg()
@@ -66,6 +71,7 @@ def build_variant(chunk_rows=128, moments="auto", fetch="bilinear"):
     cfg.MODEL.FLOW_CHUNK_ROWS = chunk_rows
     cfg.MODEL.FLOW_FETCH = fetch
     cfg.MODEL.FLOW_MOMENTS = moments
+    cfg.MODEL.FLOW_SRC_DTYPE = src_dtype
     model, _, _ = build_model(cfg)
     return cfg, model
 
@@ -73,7 +79,8 @@ def build_variant(chunk_rows=128, moments="auto", fetch="bilinear"):
 def main():
     import jax
 
-    names = sys.argv[1:] or ["base", "stack", "chunk64", "pallas", "base"]
+    names = sys.argv[1:] or ["base", "stack", "chunk64", "pallas",
+                             "srcbf16", "base"]
 
     t0 = time.perf_counter()
     done = bench._device_watchdog(420.0)
