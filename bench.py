@@ -258,6 +258,18 @@ def main():
         # (ADVICE r3: consumers KeyError'd on silently-missing sections).
         details = {"complete": False,
                    "headline_latency_s": latency,
+                   # the knob triple every number in this file was measured
+                   # under (docs-drift guard: numbers are meaningless
+                   # without it — VERDICT r4 weak #2)
+                   "measured_at": {
+                       "FLOW_FETCH": cfg.MODEL.FLOW_FETCH,
+                       "FLOW_MOMENTS": cfg.MODEL.FLOW_MOMENTS,
+                       "COARSE_FETCH": cfg.MODEL.COARSE_FETCH,
+                       "FLOW_CHUNK_ROWS": cfg.MODEL.FLOW_CHUNK_ROWS,
+                       "FLOW_SRC_DTYPE": cfg.MODEL.FLOW_SRC_DTYPE,
+                       "DTYPE": cfg.MODEL.DTYPE,
+                       "NORM": cfg.MODEL.NORM,
+                   },
                    "baseline_source": BASELINE_SOURCE}
         globals()["_DETAILS"] = details
 
