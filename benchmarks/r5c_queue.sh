@@ -22,7 +22,7 @@ mkdir -p "$OUT"
 log() { echo "[$(date -u +%FT%TZ)] $*" | tee -a "$OUT/queue.log"; }
 FAILS=0
 
-KNOWN="nan_edge nan_head nan_f32 knobs2 train2 nan_2pass nan_barrier nan_sgstats"
+KNOWN="nan_edge nan_head nan_f32 knobs2 train2 tt2 nan_2pass nan_barrier nan_sgstats"
 for a in "$@"; do
   case " $KNOWN " in
     *" $a "*) ;;
@@ -55,6 +55,9 @@ pick knobs2 && run knobs2 4800 python -u benchmarks/r5_knob_ab.py
 pick train2 && run train2 3600 \
     python -u benchmarks/train_fetch_bench.py table+feat bilinear+feat \
     bilinear+mom bilinear+feat+mom
+# catch-up for a timed-out r5b tt step (tt_sweep resumes: measured tokens
+# are skipped, results merge into tt_sweep_r5.json)
+pick tt2 && run tt2 3600 python -u benchmarks/tt_sweep.py
 pick nan_f32 && run nan_f32 1800 \
     python -u debug/nan_bisect.py --steps 4 --height 128 --width 192 \
     --dtype float32

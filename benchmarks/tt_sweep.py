@@ -50,11 +50,20 @@ def main():
         "bilinear_p:64@1280x1024",  # Pallas windowed gather, post-fix
     ]
     variables = None
+    # resume: merge into the existing record and skip measured tokens, so
+    # a timed-out sweep finishes in the next queue window
     results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
     kwargs = dict(is_flow=True, img_scales=(0.25, 0.5, 1.0),
                   inter_scales=(0.75, 0.375, 0.1875),
                   num_virtual_plane=96)
     for tok in tokens:
+        if "maps_per_sec" in results.get(tok, {}):
+            print(json.dumps({"variant": tok, "skip": "already measured",
+                              **results[tok]}), flush=True)
+            continue
         spec, shape = tok.split("@")
         engine, _, chunk = spec.partition(":")
         chunk = int(chunk or 128)

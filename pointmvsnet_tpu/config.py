@@ -229,8 +229,17 @@ def get_default_cfg() -> CfgNode:
     # TPU-native additions (no reference counterpart)
     _C.MODEL.DTYPE = "float32"               # compute dtype: "float32" | "bfloat16"
     _C.MODEL.KNN_IMPL = "auto"               # "auto" | "xla" | "pallas"
-    _C.MODEL.FLOW_CHUNK_ROWS = 0             # >0: row-banded PointFlow (memory cap;
-                                             # 128 is optimal for full-res eval on v5e)
+    _C.MODEL.FLOW_CHUNK_ROWS = -1            # flow band height: -1 = AUTO
+                                             # (largest of 128/64/32/16/8
+                                             # that keeps the EdgeConv
+                                             # Pallas masked-window-max in
+                                             # VMEM at eval — past that the
+                                             # knob A/B measured a ~6×
+                                             # cliff; unbanded at train and
+                                             # when the full height fits) |
+                                             # 0 = unbanded | >0 fixed
+                                             # (must divide the flow height,
+                                             # multiple of 8)
     _C.MODEL.REMAT = False                   # jax.checkpoint the flow stages
     _C.MODEL.REMAT_SAVE = ("knn",)           # checkpoint_name'd values the
                                              # remat policy SAVES instead of

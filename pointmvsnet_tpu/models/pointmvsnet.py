@@ -242,6 +242,24 @@ class PointFlowCore(nn.Module):
         return cur_depth + residual.reshape(b, h, w)
 
 
+def resolve_chunk_rows(h: int, w: int, g: int, f_max: int) -> int:
+    """AUTO flow band height: 0 (unbanded) when the full-height EdgeConv
+    masked-window-max fits its VMEM budget, else the LARGEST band height in
+    {128, 64, 32, 16, 8} that divides ``h`` and whose band (+2·8 halo)
+    fits. Keeping the Pallas fast path engaged is worth ~6× at eval (the
+    knob-A/B chunk cliff); among fitting heights, larger bands amortize
+    per-band fixed costs. Falls back to 8 if nothing fits (never observed:
+    a 24-row band fits at any width a TPU can hold the pyramid for)."""
+    from pointmvsnet_tpu.ops.pallas.edge import masked_window_max_fits
+    if masked_window_max_fits(g, h, w, f_max, 5, 4):
+        return 0
+    for cr in (128, 64, 32, 16, 8):
+        if h % cr == 0 and h > cr + 16 and masked_window_max_fits(
+                g, cr + 16, w, f_max, 5, 4):
+            return cr
+    return 8
+
+
 class PointFlow(nn.Module):
     """PointFlow refinement step (weights shared across iterations, as in
     the reference's single flow module applied iteratively).
@@ -298,6 +316,21 @@ class PointFlow(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         b, h, w = cur_depth.shape
         cr = self.chunk_rows
+        if cr == -1:
+            # AUTO band height (MODEL.FLOW_CHUNK_ROWS=-1): pick the largest
+            # band that keeps EdgeConv's Pallas masked-window-max inside its
+            # VMEM budget. The r5 knob A/B found a ~6× CLIFF between 128-
+            # and 256-row bands at 640 wide (218 → 1296 ms/map) — the fit
+            # check fails and eval silently falls back to the latency-bound
+            # neighbor-gather path. A 128-row band at 1280 wide sits on the
+            # same bad side (it equals 256@640 in area), which is the
+            # historic 6 s/map T&T wall (benchmarks/results/knob_ab_r5.json,
+            # tt_sweep_r5.json). Resolved per flow iteration: each scale has
+            # its own (h, w). Train stays UNBANDED: per-band BN batch
+            # statistics would diverge from the reference's whole-map BN
+            # semantics (banding is an eval memory/VMEM feature).
+            cr = 0 if train else resolve_chunk_rows(h, w, 2 * self.m + 1,
+                                                    max(self.edge_channels))
         if self.fetch == "auto":
             # eval: per-level bilinear — the measured full-pipeline winner
             # at the DTU headline (r5 same-session A/B, 219 vs table's

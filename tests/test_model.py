@@ -334,3 +334,26 @@ def test_remat_grads_match_no_remat(save, rng=np.random.RandomState(7)):
         tol = max(1e-3 * float(np.abs(ref).max()), 1e-6)
         np.testing.assert_allclose(got, ref, rtol=0, atol=tol,
                                    err_msg=jax.tree_util.keystr(k))
+
+
+def test_resolve_chunk_rows_auto():
+    """MODEL.FLOW_CHUNK_ROWS=-1 band-height resolution: keep the EdgeConv
+    Pallas masked-window-max inside VMEM (the measured ~6x knob-A/B cliff
+    sits exactly at its fit boundary) with the largest qualifying band;
+    unbanded when the full height already fits."""
+    from pointmvsnet_tpu.models.pointmvsnet import resolve_chunk_rows
+
+    g, f = 5, 64                      # flow G = 2m+1, max edge channels
+    assert resolve_chunk_rows(512, 640, g, f) == 128   # DTU headline
+    assert resolve_chunk_rows(1024, 1280, g, f) == 64  # T&T full res
+    assert resolve_chunk_rows(512, 1280, g, f) == 64   # wide mid shape
+    assert resolve_chunk_rows(128, 160, g, f) == 0     # flow1: fits whole
+    # the resolved band always divides the height and keeps the fast path
+    from pointmvsnet_tpu.ops.pallas.edge import masked_window_max_fits
+    for h, w in [(512, 640), (1024, 1280), (256, 896), (2048, 1920)]:
+        cr = resolve_chunk_rows(h, w, g, f)
+        if cr:
+            assert h % cr == 0 and cr % 8 == 0
+            assert masked_window_max_fits(g, cr + 16, w, f, 5, 4)
+        else:
+            assert masked_window_max_fits(g, h, w, f, 5, 4)
