@@ -50,13 +50,15 @@ def make_inputs(b, v, h, w, d, with_gt=False):
     return out
 
 
-def build(norm="bn", dtype="bfloat16", chunk_rows=128, fetch=None):
+def build(norm="bn", dtype="bfloat16", chunk_rows=None, fetch=None):
     from pointmvsnet_tpu.config import get_default_cfg
     from pointmvsnet_tpu.models import build_model
     cfg = get_default_cfg()
     cfg.MODEL.NORM = norm
     cfg.MODEL.DTYPE = dtype
-    cfg.MODEL.FLOW_CHUNK_ROWS = chunk_rows
+    if chunk_rows is not None:      # None = the shipped default (-1 AUTO,
+        #                             which resolves to 128 at 640×512)
+        cfg.MODEL.FLOW_CHUNK_ROWS = chunk_rows
     if fetch is None:
         fetch = os.environ.get("BENCH_FETCH", cfg.MODEL.FLOW_FETCH)
     cfg.MODEL.FLOW_FETCH = fetch
