@@ -332,12 +332,14 @@ class PointFlow(nn.Module):
             cr = 0 if train else resolve_chunk_rows(h, w, 2 * self.m + 1,
                                                     max(self.edge_channels))
         if self.fetch == "auto":
-            # eval: per-level bilinear — the measured full-pipeline winner
-            # at the DTU headline (r5 same-session A/B, 219 vs table's
-            # 311 ms/map — benchmarks/results/fetch_ab_r5.json). train:
-            # table, pending the on-chip backward A/B
-            # (benchmarks/train_fetch_bench.py takes engine names).
-            fetch = "bilinear" if not train else "table"
+            # per-level bilinear everywhere — the measured winner at eval
+            # (r5 same-session A/B, 219 vs table's 311 ms/map —
+            # benchmarks/results/fetch_ab_r5.json) AND at train (backward
+            # measured r5: 0.8492 vs table's 0.8547 s/step at the reference
+            # train config — benchmarks/results/train_ab_r5.json; it also
+            # skips the combined patch table, the train graph's widest
+            # buffer).
+            fetch = "bilinear"
         else:
             fetch = self.fetch
         if fetch not in ("table", "bilinear", "bilinear_p"):
@@ -350,7 +352,7 @@ class PointFlow(nn.Module):
             # the Pallas gather has no VJP (train) and its lax.cond
             # fallback would run BOTH branches under the band-mesh vmap —
             # keep the exact-math XLA twin on those paths
-            fetch = "bilinear" if not train else "table"
+            fetch = "bilinear"
 
         if cr <= 0 or h <= cr + 16:  # too short to band (bs = cr + 2·halo)
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,
