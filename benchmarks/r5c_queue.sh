@@ -17,6 +17,7 @@
 #              EdgeConv's train BN (see models/edge_conv.py module flags)
 set -u
 cd "$(dirname "$0")/.." || exit 1
+echo $$ > /tmp/r5c.pid
 OUT=${OUT:-/tmp/r5c}
 mkdir -p "$OUT"
 log() { echo "[$(date -u +%FT%TZ)] $*" | tee -a "$OUT/queue.log"; }

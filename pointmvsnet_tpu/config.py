@@ -340,7 +340,11 @@ def get_default_cfg() -> CfgNode:
     _C.PARALLEL.VIEW = 1                     # view/scan-parallel eval axis
     _C.PARALLEL.BAND = 1                     # band-parallel flow eval axis
                                              # (shards FLOW_CHUNK_ROWS bands
-                                             # of one map across chips)
+                                             # of one map across chips; with
+                                             # FLOW_CHUNK_ROWS=-1 the AUTO
+                                             # height still applies — set an
+                                             # explicit height if the band
+                                             # count must match the mesh)
 
     return _C
 
