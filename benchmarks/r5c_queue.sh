@@ -18,6 +18,7 @@
 set -u
 cd "$(dirname "$0")/.." || exit 1
 echo $$ > /tmp/r5c.pid
+trap 'rm -f /tmp/r5c.pid' EXIT
 OUT=${OUT:-/tmp/r5c}
 mkdir -p "$OUT"
 log() { echo "[$(date -u +%FT%TZ)] $*" | tee -a "$OUT/queue.log"; }
