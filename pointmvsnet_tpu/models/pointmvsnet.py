@@ -244,16 +244,20 @@ class PointFlowCore(nn.Module):
 
 def resolve_chunk_rows(h: int, w: int, g: int, f_max: int) -> int:
     """AUTO flow band height: 0 (unbanded) when the full-height EdgeConv
-    masked-window-max fits its VMEM budget, else the LARGEST band height in
-    {128, 64, 32, 16, 8} that divides ``h`` and whose band (+2·8 halo)
-    fits. Keeping the Pallas fast path engaged is worth ~6× at eval (the
-    knob-A/B chunk cliff); among fitting heights, larger bands amortize
-    per-band fixed costs. Falls back to 8 if nothing fits (never observed:
-    a 24-row band fits at any width a TPU can hold the pyramid for)."""
+    masked-window-max fits its VMEM budget, else the best band height in
+    {64, 128, 32, 16, 8} (preference order) that divides ``h`` and whose
+    band (+2·8 halo) fits. Keeping the Pallas fast path engaged is worth
+    ~6× at eval (the knob-A/B chunk cliff). 64 leads the order: it beat
+    128 in BOTH knob A/B waves at 640×512 (202.2 vs 207.2 ms with
+    moments, 214.9 vs 217.9 stacked — knob_ab_r5{,b}.json) and beat 32
+    at 1280×1024 (1.20 vs 1.37 s — tt_sweep_r5.json); past 64 the order
+    is by size (amortize per-band fixed costs). Falls back to 8 if
+    nothing fits (never observed: a 24-row band fits at any width a TPU
+    can hold the pyramid for)."""
     from pointmvsnet_tpu.ops.pallas.edge import masked_window_max_fits
     if masked_window_max_fits(g, h, w, f_max, 5, 4):
         return 0
-    for cr in (128, 64, 32, 16, 8):
+    for cr in (64, 128, 32, 16, 8):
         if h % cr == 0 and h > cr + 16 and masked_window_max_fits(
                 g, cr + 16, w, f_max, 5, 4):
             return cr

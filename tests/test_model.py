@@ -344,7 +344,8 @@ def test_resolve_chunk_rows_auto():
     from pointmvsnet_tpu.models.pointmvsnet import resolve_chunk_rows
 
     g, f = 5, 64                      # flow G = 2m+1, max edge channels
-    assert resolve_chunk_rows(512, 640, g, f) == 128   # DTU headline
+    assert resolve_chunk_rows(512, 640, g, f) == 64    # DTU headline (64
+    #   beat 128 in both knob A/B waves: 202.2 vs 207.2 ms with moments)
     assert resolve_chunk_rows(1024, 1280, g, f) == 64  # T&T full res
     assert resolve_chunk_rows(512, 1280, g, f) == 64   # wide mid shape
     assert resolve_chunk_rows(128, 160, g, f) == 0     # flow1: fits whole
