@@ -104,13 +104,25 @@ def measure(model, variables, images, cams, kwargs, iters=15):
 
     eps0 = jnp.zeros((), images.dtype)
     out, eps = fwd(variables, images, cams, eps0)
-    np.asarray(out[key])                        # compile + warmup sync
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, eps = fwd(variables, images, cams, eps)
-    checksum = float(out[key][0, 0, 0])         # ONE sync bounds the chain
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(checksum)
+    np.asarray(out[key])                        # compile + first sync
+
+    def window():
+        nonlocal out, eps
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, eps = fwd(variables, images, cams, eps)
+        checksum = float(out[key][0, 0, 0])     # ONE sync bounds the chain
+        assert np.isfinite(checksum)
+        return (time.perf_counter() - t0) / iters
+
+    # Warmup window + best of two timed windows. The FIRST measured
+    # window in a fresh chip/tunnel session reproducibly runs ~3.3×
+    # slow and steady state holds from the second on (knob_ab_r5.json
+    # base 729→218 ms, knob_ab_r5b.json base 707→207, BENCH_r04's 743 —
+    # three independent sessions). A single-window measure records the
+    # warmup artifact as the headline; best-of discards it.
+    window()
+    dt = min(window(), window())
     return images.shape[0] / dt, dt
 
 
