@@ -126,11 +126,15 @@ def _loop_body(q_ref, lo_ref, hi_ref, rel_ref, out_ref):
 
 
 def _take_body(q_ref, lo_ref, hi_ref, rel_ref, out_ref):
+    # Mosaic's gather is SAME-SHAPE dynamic_gather only: pad the indices
+    # to the window height, gather the window onto itself, slice BLOCK
     span = lo_ref.shape[0]
-    rel = rel_ref[0, 0, :]
-    lo = jnp.take(lo_ref[:], jnp.clip(rel, 0, span - 1), axis=0)
-    hi = jnp.take(hi_ref[:], jnp.clip(rel - span, 0, span - 1), axis=0)
-    out_ref[:] = jnp.where((rel < span)[:, None], lo, hi)
+    window = jnp.concatenate([lo_ref[:], hi_ref[:]], axis=0)
+    s, wl = window.shape
+    rel = jnp.clip(rel_ref[0, 0, :], 0, s - 1)
+    idx2 = jnp.broadcast_to(jnp.pad(rel, (0, s - BLOCK))[:, None], (s, wl))
+    g = jnp.take_along_axis(window, idx2, axis=0, mode="promise_in_bounds")
+    out_ref[:] = g[:BLOCK]
 
 
 def pallas_gather(table, idx, span, body):

@@ -42,12 +42,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _take_body(nslab, q_ref, rel_ref, *refs):
-    """Serve BLOCK rows from the nslab×span VMEM window with one take."""
+    """Serve BLOCK rows from the nslab×span VMEM window with one gather.
+
+    Mosaic's only vector-gather primitive is the SAME-SHAPE
+    ``tpu.dynamic_gather`` (out[i,j] = x[idx[i,j], j], idx.shape ==
+    x.shape — jax/_src/pallas/mosaic/lowering.py::_gather_lowering_rule;
+    a narrow ``jnp.take`` of BLOCK rows from the taller window fails its
+    shape check, the exact error the r5 knob A/B recorded). So: pad the
+    BLOCK indices up to the window height, gather the whole window onto
+    itself, and statically slice the first BLOCK rows — the extra rows
+    are VMEM-local VPU work, no HBM traffic."""
     slab_refs, out_ref = refs[:-1], refs[-1]
     span = slab_refs[0].shape[0]
     window = jnp.concatenate([r[:] for r in slab_refs], axis=0)
-    rel = rel_ref[0, 0, :]                                 # (BLOCK,)
-    out_ref[:] = jnp.take(window, jnp.clip(rel, 0, nslab * span - 1), axis=0)
+    s, wl = window.shape
+    block = out_ref.shape[0]
+    rel = jnp.clip(rel_ref[0, 0, :], 0, s - 1)             # (BLOCK,)
+    idx2 = jnp.broadcast_to(jnp.pad(rel, (0, s - block))[:, None], (s, wl))
+    g = jnp.take_along_axis(window, idx2, axis=0, mode="promise_in_bounds")
+    out_ref[:] = g[:block]
 
 
 def _loop_body(nslab, q_ref, rel_ref, *refs):
@@ -130,6 +143,9 @@ def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray, *,
     table2 = jnp.pad(table, ((0, r_pad - r), (0, 0))).reshape(
         r_pad // pack, pack * w)
     span_p = span // pack                       # window rows in packed units
+    assert slabs * span_p >= block, (
+        f"window {slabs}x{span_p} shorter than block {block}: the same-"
+        f"shape in-kernel gather needs window >= block rows")
 
     # pad the packed table to a multiple of span_p plus the extra slabs so
     # every q+j block index is valid
