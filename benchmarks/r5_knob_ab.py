@@ -101,6 +101,13 @@ def main():
         "order": [],
         "complete": False,
     }
+    # merge into an existing record (separate waves must not clobber it);
+    # re-measured names land as <name>_repeatN
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+        rec["variants"] = prev.get("variants", {})
+        rec["order"] = prev.get("order", [])
     _flush(rec)
 
     cfg0, model0 = build_variant()
