@@ -241,15 +241,19 @@ def get_default_cfg() -> CfgNode:
                                              # (must divide the flow height,
                                              # multiple of 8)
     _C.MODEL.REMAT = False                   # jax.checkpoint the flow stages
-    _C.MODEL.REMAT_SAVE = ("knn",)           # checkpoint_name'd values the
+    _C.MODEL.REMAT_SAVE = ("knn", "feat")    # checkpoint_name'd values the
                                              # remat policy SAVES instead of
                                              # recomputing in the backward:
                                              # "knn" (integer kNN graph —
                                              # cheap to store, expensive to
-                                             # recompute) and/or "feat" (the
+                                             # recompute), "feat" (the
                                              # variance point-feature — skips
                                              # the fetch+variance recompute
-                                             # at ~50 MB/iteration)
+                                             # at ~50 MB/iteration; measured
+                                             # −2.5% on the train step:
+                                             # 0.8277 vs 0.8492 s at the
+                                             # reference config, train_ab_
+                                             # r5.json — B=1 fits with room)
     _C.MODEL.FLOW_FETCH = "auto"             # PointFlow source fetch kernel:
                                              # "table" (ONE combined-table
                                              # gather per hypothesis point) |
@@ -284,16 +288,16 @@ def get_default_cfg() -> CfgNode:
                                              # materializes; slightly MORE
                                              # precise than the stacked bf16
                                              # square-sum). "on" | "off" |
-                                             # "auto" = on at EVAL (measured
-                                             # full-pipeline winner at the
-                                             # bilinear headline: 207 vs
-                                             # 218 ms/map, benchmarks/results/
-                                             # knob_ab_r5.json; an earlier
-                                             # "3x slower" result was under
-                                             # the excised grouped engine),
-                                             # off at TRAIN pending the
-                                             # backward A/B. Bools accepted
-                                             # in YAML (True="on").
+                                             # "auto" = on EVERYWHERE —
+                                             # measured winner at eval (207
+                                             # vs 218 ms/map, knob_ab_r5.
+                                             # json) and at train (0.8305
+                                             # vs 0.8492 s/step, train_ab_
+                                             # r5.json; an earlier "3x
+                                             # slower" result was under the
+                                             # excised grouped engine).
+                                             # Bools accepted in YAML
+                                             # (True="on").
     _C.MODEL.FLOW_SRC_DTYPE = ""             # per-view source-feature dtype
                                              # for the flow fetch: "" (f32) |
                                              # "bfloat16" (halves the stacked

@@ -154,12 +154,13 @@ class PointFlowCore(nn.Module):
         # All 3 pyramid levels in ONE gather per source view (bit-exact to
         # per-level fetches — see fetch_features_multilevel); variance over
         # views is per-channel, so concat-then-reduce == reduce-then-concat.
-        # MODEL.FLOW_MOMENTS "auto": fused f32 moments at EVAL — the measured
-        # full-pipeline winner at the bilinear headline (207 vs 218 ms/map,
-        # benchmarks/results/knob_ab_r5.json, same-session A/B) — stacked at
-        # TRAIN pending the backward A/B (benchmarks/train_fetch_bench.py).
+        # MODEL.FLOW_MOMENTS "auto": fused f32 moments EVERYWHERE — the
+        # measured full-pipeline winner at eval (207 vs 218 ms/map,
+        # benchmarks/results/knob_ab_r5.json) AND at train (backward
+        # measured r5: bilinear+mom 0.8305 vs bilinear 0.8492 s/step,
+        # composing with REMAT_SAVE=feat to 0.8238 — train_ab_r5.json).
         moments = (self.moments if isinstance(self.moments, bool)
-                   else {"on": True, "off": False}.get(self.moments, not train))
+                   else {"on": True, "off": False}.get(self.moments, True))
         reduce = "moments" if moments else "stack"
         if fetch in ("bilinear", "bilinear_p"):
             # per-level 2×2-table bilinear gathers — no wide patch table,
