@@ -19,7 +19,7 @@ mkdir -p "$OUT"
 log() { echo "[$(date -u +%FT%TZ)] $*" | tee -a "$OUT/queue.log"; }
 FAILS=0
 
-KNOWN="pgather2 knobs3 bench_ship"
+KNOWN="pgather2 knobs3 bench_ship nan_full"
 for a in "$@"; do
   case " $KNOWN " in
     *" $a "*) ;;
@@ -43,6 +43,11 @@ run() { # run <name> <timeout_s> <cmd...>
 pick pgather2 && run pgather2 1500 python -u benchmarks/pallas_gather_probe.py
 pick knobs3 && run knobs3 3600 python -u benchmarks/r5_knob_ab.py pallas base
 pick bench_ship && run bench_ship 3600 python -u bench.py
+# VERDICT r4 #3's done-criterion: B=2 bf16+BN trains >=10 on-chip steps
+# with zero skips, at FULL size, on the SHIPPED code (the winning BN-seam
+# fix is promoted into edge_conv.py before this step runs)
+pick nan_full && run nan_full 5400 \
+    python -u debug/nan_bisect.py --steps 10 --batch 2
 
 log "QUEUE DONE fails=$FAILS"
 exit $([ $FAILS -eq 0 ]; echo $?)
