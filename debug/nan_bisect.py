@@ -246,6 +246,12 @@ def apply_ablations(names):
             # frozen-stats normalization backward (localizer only)
             ec.BN_STATS_STOPGRAD = True
             notes.append("EdgeConv BN stats stop_gradient")
+        elif name == "edge_bn_frozen":
+            # normalize by the STORED running stats at train (no batch
+            # moments, no batch_stats update): isolates the moment
+            # reduction + variable-mutation machinery wholesale
+            ec.BN_STATS_FROZEN = True
+            notes.append("EdgeConv BN frozen running stats at train")
         else:
             raise SystemExit(f"unknown ablation: {name}")
     return notes

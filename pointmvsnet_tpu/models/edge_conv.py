@@ -52,6 +52,11 @@ BN_STATS_BARRIER = False   # optimization_barrier on (mean, var): pins the
 BN_STATS_STOPGRAD = False  # stop_gradient on (mean, var): frozen-stats
 #                            normalization backward (semantics change —
 #                            localizer only, not a shippable default)
+BN_STATS_FROZEN = False    # train-mode normalize reads the STORED running
+#                            stats (no batch moments computed, no variable
+#                            update): isolates the moment-reduction +
+#                            batch_stats-mutation machinery wholesale
+#                            (2pass/barrier/sgstats all NAN'd — r5c)
 
 
 class _BNStats(nn.Module):
@@ -128,7 +133,7 @@ class EdgeConv(nn.Module):
         bn_vals = None
         bnp = (_BNStats(self.features, name="BatchNorm_0")
                if self.norm == "bn" else None)
-        if bnp is not None and not train:
+        if bnp is not None and (not train or BN_STATS_FROZEN):
             bn_vals = bnp()                              # read-only
 
         fast_ok = (mask is not None and grid_shape is not None
@@ -142,7 +147,7 @@ class EdgeConv(nn.Module):
         # ---- gather path (training, GroupNorm, or no mask) ----------------
         pre = gather_knn(z, knn_idx) + cterm[:, :, None, :]  # (B, N, K, F)
         if self.norm == "bn":
-            if train:
+            if train and not BN_STATS_FROZEN:
                 f32 = pre.astype(jnp.float32)
                 bm = jnp.mean(f32, axis=(0, 1, 2))
                 if BN_STATS_TWOPASS:
