@@ -43,10 +43,9 @@ VARIANTS = {
     "chunk256": {"chunk_rows": 256},
     "chunk0": {"chunk_rows": 0},
     "moments": {"moments": "on"},
-    # bilinear taps with rows served by the Pallas windowed-VMEM gather
-    # (ops/pallas/gather.py) instead of XLA's latency-bound row gather
-    "pallas": {"fetch": "bilinear_p"},
-    "pallas_chunk0": {"fetch": "bilinear_p", "chunk_rows": 0},
+    # (the Pallas windowed-gather "bilinear_p" variants were excised:
+    # Mosaic internal compiler error on every in-kernel gather mechanism
+    # — benchmarks/results + docs/STATUS.md, 2026-08-20)
     # bf16 per-view source features: halves the gather traffic (the f32
     # lerp weights and variance accumulation are unchanged); measured only
     # under the excised grouped engine so far
@@ -79,7 +78,7 @@ def build_variant(chunk_rows=128, moments="auto", fetch="bilinear",
 def main():
     import jax
 
-    names = sys.argv[1:] or ["base", "stack", "chunk64", "pallas",
+    names = sys.argv[1:] or ["base", "stack", "chunk64",
                              "srcbf16", "base"]
 
     t0 = time.perf_counter()

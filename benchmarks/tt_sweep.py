@@ -47,7 +47,6 @@ def main():
         "bilinear:64@1280x1024",    # same pts/band as the DTU optimum
         "bilinear:32@1280x1024",
         "bilinear:128@1280x1024",   # the historic wall, for attribution
-        "bilinear_p:64@1280x1024",  # Pallas windowed gather, post-fix
     ]
     variables = None
     # resume: merge into the existing record and skip measured tokens, so

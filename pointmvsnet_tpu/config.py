@@ -263,12 +263,7 @@ def get_default_cfg() -> CfgNode:
                                              # winner at eval: 219 vs 311 ms,
                                              # benchmarks/results/
                                              # fetch_ab_r5.json) |
-                                             # "bilinear_p" (bilinear's taps,
-                                             # rows served by the Pallas
-                                             # windowed-VMEM gather — eval-
-                                             # only, falls back to the XLA
-                                             # twins at train / band mesh)
-                                             # | "auto" —
+                                             # "auto" —
                                              # resolves per mode in
                                              # PointFlow.__call__ (the single
                                              # source of truth, kept at the

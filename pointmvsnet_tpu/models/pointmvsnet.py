@@ -162,16 +162,13 @@ class PointFlowCore(nn.Module):
         moments = (self.moments if isinstance(self.moments, bool)
                    else {"on": True, "off": False}.get(self.moments, True))
         reduce = "moments" if moments else "stack"
-        if fetch in ("bilinear", "bilinear_p"):
+        if fetch == "bilinear":
             # per-level 2×2-table bilinear gathers — no wide patch table,
             # no fallback cond (vmap-safe); the measured in-situ winner at
             # the DTU headline (see ops/sampling.py::fetch_features_perlevel).
-            # "bilinear_p": same taps, rows served by the Pallas windowed-
-            # VMEM gather (ops/pallas/gather.py) — eval-only (no VJP).
             src = fetch_features_perlevel(
                 [fmap[:, 1:] for fmap in levels], x, cams_levels[0][:, 1:],
-                reduce=reduce, out_dtype=self.src_dtype,
-                gather="pallas" if fetch == "bilinear_p" else "take")
+                reduce=reduce, out_dtype=self.src_dtype)
         else:
             src = fetch_features_multilevel(
                 [fmap[:, 1:] for fmap in levels], x,
@@ -347,17 +344,15 @@ class PointFlow(nn.Module):
             fetch = "bilinear"
         else:
             fetch = self.fetch
-        if fetch not in ("table", "bilinear", "bilinear_p"):
+        if fetch not in ("table", "bilinear"):
             raise ValueError(
                 f"MODEL.FLOW_FETCH={fetch!r}: valid engines are 'table', "
-                f"'bilinear', 'bilinear_p', 'auto' (the pixel-'grouped' "
-                f"engine was excised in round 5 — measured slower at eval, "
-                f"OOM at train; see docs/STATUS.md)")
-        if fetch == "bilinear_p" and (train or self.band_mesh is not None):
-            # the Pallas gather has no VJP (train) and its lax.cond
-            # fallback would run BOTH branches under the band-mesh vmap —
-            # keep the exact-math XLA twin on those paths
-            fetch = "bilinear"
+                f"'bilinear', 'auto'. Two engines were built, measured, "
+                f"and excised in round 5: the pixel-'grouped' fetch "
+                f"(slower at eval, OOM at train) and the Pallas windowed-"
+                f"VMEM gather 'bilinear_p' (Mosaic has no usable in-kernel "
+                f"row gather: internal compiler error — see docs/STATUS.md "
+                f"and git history)")
 
         if cr <= 0 or h <= cr + 16:  # too short to band (bs = cr + 2·halo)
             return self.core(levels, cams_levels, ref_cam, cur_depth, step,

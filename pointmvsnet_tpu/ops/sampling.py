@@ -77,8 +77,7 @@ def _patch_row_idx(u: jnp.ndarray, v: jnp.ndarray, h: int, w: int) -> jnp.ndarra
 
 
 def bilinear_sample(feat: jnp.ndarray, uv: jnp.ndarray,
-                    valid: jnp.ndarray | None = None,
-                    gather: str = "take") -> jnp.ndarray:
+                    valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sample ``feat`` (..., H, W, C) at pixel coords ``uv`` (..., N, 2).
 
     Out-of-image samples (and entries where ``valid`` is False) return 0,
@@ -98,18 +97,7 @@ def bilinear_sample(feat: jnp.ndarray, uv: jnp.ndarray,
     u, v = uv[..., 0], uv[..., 1]
     patches = patch_table_2x2(feat)
     idx = _patch_row_idx(u, v, h, w)
-    if gather == "pallas":
-        # windowed-VMEM gather (ops/pallas/gather.py): the epipolarly
-        # coherent index stream is served from streamed table slabs at
-        # sequential-HBM bandwidth instead of ~40 ns/row random access;
-        # exact fallback per call. Forward-only (no VJP) — eval engines.
-        from pointmvsnet_tpu.ops.pallas.gather import gather_rows_windowed
-        assert patches.ndim == 3 and idx.ndim == 2, (
-            "pallas gather expects (B, rows, C) tables")
-        g = jnp.stack([gather_rows_windowed(patches[b], idx[b])
-                       for b in range(patches.shape[0])])
-    else:
-        g = jnp.take_along_axis(patches, idx[..., None], axis=-2)
+    g = jnp.take_along_axis(patches, idx[..., None], axis=-2)
     return _lerp_2x2(g, u, v, h, w, valid)
 
 
@@ -281,7 +269,7 @@ def fetch_features_multilevel(levels: list, points: jnp.ndarray,
 
 def fetch_features_perlevel(levels: list, points: jnp.ndarray,
                             cams: jnp.ndarray, reduce: str = "stack",
-                            out_dtype=None, gather: str = "take"):
+                            out_dtype=None):
     """Per-level bilinear point fetch: one 2×2-patch-table
     ``bilinear_sample`` per (source view, pyramid level) — 3 narrow
     gathers per view instead of the combined-table path's 1 wide one.
@@ -308,7 +296,7 @@ def fetch_features_perlevel(levels: list, points: jnp.ndarray,
 
     def one_view(vi):
         parts = [bilinear_sample(f[:, vi], uv[:, vi] * (1.0 / (1 << l)),
-                                 valid=valid[:, vi], gather=gather)
+                                 valid=valid[:, vi])
                  for l, f in enumerate(levels)]
         out = jnp.concatenate(parts, axis=-1)                  # (B, N, ΣC)
         return out.astype(out_dtype) if out_dtype is not None else out

@@ -153,15 +153,16 @@ def test_flow_src_dtype_bf16_close(fwd):
 
 def test_flow_fetch_bilinear_matches(fwd):
     """MODEL.FLOW_FETCH=bilinear (per-level 2×2-table engine) reproduces
-    the table engine end-to-end (same primitive, different composition);
-    bilinear_p (Pallas windowed-VMEM gather, interpreter mode on CPU)
-    must be BIT-identical to bilinear (same taps, gather swapped)."""
+    the table engine end-to-end (same primitive, different composition).
+    A third engine (bilinear_p, Pallas windowed-VMEM gather) was excised
+    in round 5: Mosaic has no lowerable in-kernel row gather (internal
+    compiler error on every mechanism probed — docs/STATUS.md)."""
     cfg, model, variables, images, cams, _, _ = fwd
     kwargs = dict(is_flow=True, img_scales=(0.25, 0.5),
                   inter_scales=(0.75, 0.375), num_virtual_plane=D,
                   train=False)
     preds = {}
-    for fetch in ("table", "bilinear", "bilinear_p"):
+    for fetch in ("table", "bilinear"):
         cfg_f = tiny_cfg()
         cfg_f.MODEL.FLOW_FETCH = fetch
         model_f, _, _ = build_model(cfg_f)
@@ -170,9 +171,6 @@ def test_flow_fetch_bilinear_matches(fwd):
         np.testing.assert_allclose(np.asarray(preds["bilinear"][k]),
                                    np.asarray(preds["table"][k]),
                                    rtol=1e-5, atol=1e-5, err_msg=k)
-        np.testing.assert_array_equal(np.asarray(preds["bilinear_p"][k]),
-                                      np.asarray(preds["bilinear"][k]),
-                                      err_msg=k)
 
 
 def test_coarse_only_forward(fwd):
