@@ -246,6 +246,17 @@ def apply_ablations(names):
             # frozen-stats normalization backward (localizer only)
             ec.BN_STATS_STOPGRAD = True
             notes.append("EdgeConv BN stats stop_gradient")
+        elif name == "edge_bn_noupdate":
+            # batch moments computed + used for normalize, running-stat
+            # momentum blend SKIPPED: splits frozen-CLEAN between the
+            # moment reduction and the batch_stats mutation
+            ec.BN_STATS_NOUPDATE = True
+            notes.append("EdgeConv BN no running-stat update")
+        elif name == "edge_bn_flat":
+            # moments over a flattened (B·N·K, F) view — same math,
+            # different XLA reduce shape/fusion
+            ec.BN_STATS_FLAT = True
+            notes.append("EdgeConv BN flattened moment reduction")
         elif name == "edge_bn_frozen":
             # normalize by the STORED running stats at train (no batch
             # moments, no batch_stats update): isolates the moment

@@ -56,7 +56,19 @@ BN_STATS_FROZEN = False    # train-mode normalize reads the STORED running
 #                            stats (no batch moments computed, no variable
 #                            update): isolates the moment-reduction +
 #                            batch_stats-mutation machinery wholesale
-#                            (2pass/barrier/sgstats all NAN'd — r5c)
+#                            (2pass/barrier/sgstats all NAN'd — r5c).
+#                            r5e verdict: CLEAN — the trigger is in this
+#                            machinery, and since sgstats (moments present,
+#                            zero gradient through them) still NAN'd, a
+#                            gradient-FREE side computation corrupts the
+#                            compiled backward: XLA TPU miscompile.
+BN_STATS_NOUPDATE = False  # batch moments computed + normalized by, but
+#                            the running-stat momentum blend (batch_stats
+#                            variable mutation) is SKIPPED: splits the
+#                            frozen-CLEAN between reduction and update
+BN_STATS_FLAT = False      # moments via a flattened (B·N·K, F) reduction
+#                            instead of mean(axis=(0,1,2)): same math,
+#                            different XLA reduce shape/fusion
 
 
 class _BNStats(nn.Module):
@@ -149,10 +161,16 @@ class EdgeConv(nn.Module):
         if self.norm == "bn":
             if train and not BN_STATS_FROZEN:
                 f32 = pre.astype(jnp.float32)
-                bm = jnp.mean(f32, axis=(0, 1, 2))
-                if BN_STATS_TWOPASS:
+                if BN_STATS_FLAT:
+                    flat = f32.reshape(-1, f32.shape[-1])
+                    bm = jnp.mean(flat, axis=0)
+                    bv = jnp.maximum(jnp.mean(jnp.square(flat), axis=0)
+                                     - jnp.square(bm), 0.0)
+                elif BN_STATS_TWOPASS:
+                    bm = jnp.mean(f32, axis=(0, 1, 2))
                     bv = jnp.mean(jnp.square(f32 - bm), axis=(0, 1, 2))
                 else:
+                    bm = jnp.mean(f32, axis=(0, 1, 2))
                     # clamp: E[x²]−E[x]² can cancel below −eps in fp32, and
                     # rsqrt(<0) NaNs (flax's BatchNorm clamps the same way)
                     bv = jnp.maximum(
@@ -163,7 +181,10 @@ class EdgeConv(nn.Module):
                 if BN_STATS_STOPGRAD:
                     bm = jax.lax.stop_gradient(bm)
                     bv = jax.lax.stop_gradient(bv)
-                scale, bias, _, _ = bnp(bm, bv)
+                if BN_STATS_NOUPDATE:
+                    scale, bias, _, _ = bnp()   # no running-stat mutation
+                else:
+                    scale, bias, _, _ = bnp(bm, bv)
                 # normalize in fp32 during training: the backward through a
                 # bf16 rsqrt×large-reduction chain overflows to inf → NaN
                 # grads (observed at 640×512 train shapes); eval folds the
