@@ -9,7 +9,7 @@
 set -u
 ours() { # PID belongs to a queue/launcher we started?
   tr '\0' ' ' < "/proc/$1/cmdline" 2>/dev/null \
-    | grep -qE 'r5[b-f]_queue|r5[c-f]_launcher|nan_bisect|r5_knob_ab|tt_sweep|train_fetch_bench|bench\.py'
+    | grep -qE 'r5[b-g]_queue|r5[c-f]_launcher|flow3_ablate|nan_bisect|r5_knob_ab|tt_sweep|train_fetch_bench|bench\.py'
 }
 stop_one() { # <pidfile> <signal>
   local pidfile=$1 sig=$2 pid pg
@@ -24,9 +24,9 @@ stop_one() { # <pidfile> <signal>
   echo "$sig $pidfile (pid $pid, pgid $pg)"
   kill "-$sig" -- "-$pg" 2>/dev/null || kill "-$sig" "$pid" 2>/dev/null
 }
-for f in /tmp/r5c_launcher.pid /tmp/r5d_launcher.pid /tmp/r5e_launcher.pid /tmp/r5b.pid /tmp/r5c.pid /tmp/r5d.pid /tmp/r5e.pid /tmp/r5f.pid; do stop_one "$f" TERM; done
+for f in /tmp/r5c_launcher.pid /tmp/r5d_launcher.pid /tmp/r5e_launcher.pid /tmp/r5b.pid /tmp/r5c.pid /tmp/r5d.pid /tmp/r5e.pid /tmp/r5f.pid /tmp/r5g.pid; do stop_one "$f" TERM; done
 sleep 3
-for f in /tmp/r5c_launcher.pid /tmp/r5d_launcher.pid /tmp/r5e_launcher.pid /tmp/r5b.pid /tmp/r5c.pid /tmp/r5d.pid /tmp/r5e.pid /tmp/r5f.pid; do
+for f in /tmp/r5c_launcher.pid /tmp/r5d_launcher.pid /tmp/r5e_launcher.pid /tmp/r5b.pid /tmp/r5c.pid /tmp/r5d.pid /tmp/r5e.pid /tmp/r5f.pid /tmp/r5g.pid; do
   stop_one "$f" KILL
   [ -f "$f" ] && { pid=$(cat "$f"); kill -0 "$pid" 2>/dev/null || rm -f "$f"; }
 done
